@@ -1,0 +1,6 @@
+from .voxel import (
+    add_noise_to_voxel,
+    event_preprocess,
+    events_to_voxel_grid,
+    events_to_voxel_grid_pol,
+)

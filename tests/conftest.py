@@ -1,0 +1,44 @@
+"""Test configuration: force an 8-virtual-device CPU platform for sharding
+tests and deterministic CPU numerics for torch-parity tests.
+
+Must set env vars BEFORE jax is imported anywhere.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# A sitecustomize hook may force JAX_PLATFORMS to the TPU tunnel; override
+# post-import (env vars alone are not enough).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def add_reference_to_path():
+    """Make the upstream torch reference importable (tests only — the compute
+    path never touches it). Shims omegaconf (absent from this image)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    if "omegaconf" not in sys.modules:
+        import types
+
+        shim = types.ModuleType("omegaconf")
+
+        class _OmegaConf:
+            @staticmethod
+            def create(d):
+                return types.SimpleNamespace(**d)
+
+        shim.OmegaConf = _OmegaConf
+        sys.modules["omegaconf"] = shim
