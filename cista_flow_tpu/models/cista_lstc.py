@@ -1,0 +1,83 @@
+"""CISTA-LSTC: unrolled convolutional ISTA video reconstructor (NHWC, functional).
+
+TPU-first re-design of the reference network (ref: e2v/e2v_model.py:10-98):
+event/image heads -> stride-2 fusion -> ConvLSTC initial sparse code ->
+``depth`` weight-tied ISTA iterations -> ConvLSTM decoder -> bilinear x2 ->
+sigmoid. The recurrent state is an explicit 4-tensor tuple (never ``None``),
+so a training step is a clean ``lax.scan`` carry.
+
+State protocol (matches the reference list-of-3, with the (h, c) tuple
+flattened): ``(lstc_cell, sparse_code, dg_hidden, dg_cell)``
+(ref: e2v/e2v_model.py:65-92 — states[0], states[1], states[2]=(h,c)).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import layers as L
+from ..ops import conv as C
+
+
+class CistaState(NamedTuple):
+    lstc_cell: jnp.ndarray   # (B, H/2, W/2, 2C)
+    sparse_code: jnp.ndarray  # (B, H/2, W/2, 2C) — warped between steps
+    dg_hidden: jnp.ndarray   # (B, H/2, W/2, C)
+    dg_cell: jnp.ndarray     # (B, H/2, W/2, C)
+
+
+def init(key, cfg) -> dict:
+    """cfg needs: num_bins, base_channels, depth."""
+    c = cfg.base_channels
+    ks = jax.random.split(key, 9)
+    return {
+        "We": L.conv_layer_init(ks[0], cfg.num_bins, c // 2),
+        "Wi": L.conv_layer_init(ks[1], 1, c // 2),
+        "W0": L.conv_layer_init(ks[2], c, c),
+        "P0": L.conv_lstc_init(ks[3], x_size=c, z_size=2 * c, output_size=2 * c),
+        "ista": L.ista_block_init(ks[4], base_channels=c),
+        "Dg": {
+            "conv": L.conv_layer_init(ks[5], 2 * c, c),
+            "lstm": L.conv_lstm_init(ks[6], c, c),
+        },
+        "upsamp": L.conv_layer_init(ks[7], c, c),
+        "final": L.conv_layer_init(ks[8], c, 1),
+    }
+
+
+def zero_state(batch: int, image_dim, base_channels: int, dtype=jnp.float32) -> CistaState:
+    h2, w2 = image_dim[0] // 2, image_dim[1] // 2
+    c = base_channels
+    z = lambda ch: jnp.zeros((batch, h2, w2, ch), dtype)
+    return CistaState(z(2 * c), z(2 * c), z(c), z(c))
+
+
+def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
+          state: CistaState, depth: int = 5):
+    """One reconstruction step.
+
+    events: (B, H, W, num_bins) voxel grid; prev_image: (B, H, W, 1) warped
+    previous reconstruction. Returns (rec_image (B,H,W,1), new_state).
+    """
+    x_e = L.conv_layer(params["We"], events, padding=1)
+    x_i = L.conv_layer(params["Wi"], prev_image, padding=1)
+    x1 = jnp.concatenate([x_e, x_i], axis=-1)
+    x1 = L.conv_layer(params["W0"], x1, stride=2, padding=1)
+
+    z, lstc_cell = L.conv_lstc(params["P0"], x1, state.sparse_code, state.lstc_cell)
+
+    # depth weight-tied ISTA iterations (ref: e2v/e2v_model.py:81-87)
+    for _ in range(depth):
+        z = L.ista_iteration(params["ista"], x1, z)
+    sparse_code = z
+
+    rec = L.conv_layer(params["Dg"]["conv"], z, padding=1, activation="relu")
+    hidden, cell = L.conv_lstm(params["Dg"]["lstm"], rec, (state.dg_hidden, state.dg_cell))
+
+    _, h, w, _ = events.shape
+    rec = L.upsample_conv_layer(params["upsamp"], hidden, out_hw=(h, w), activation="relu")
+    rec = jax.nn.sigmoid(L.conv_layer(params["final"], rec, padding=1))
+
+    return rec, CistaState(lstc_cell, sparse_code, hidden, cell)
