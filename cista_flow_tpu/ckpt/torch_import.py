@@ -67,6 +67,118 @@ def _bn(sd, prefix):
 
 
 # ---------------------------------------------------------------------------
+# RAFT-family encoders / update blocks
+# ---------------------------------------------------------------------------
+
+def _residual_block(sd, prefix, norm_fn):
+    p, s = {}, {}
+    p["conv1"] = _conv(sd, prefix + ".conv1")
+    p["conv2"] = _conv(sd, prefix + ".conv2")
+    for i in (1, 2):
+        if norm_fn == "batch":
+            p[f"norm{i}"], s[f"norm{i}"] = _bn(sd, f"{prefix}.norm{i}")
+        else:
+            p[f"norm{i}"], s[f"norm{i}"] = {}, {}
+    if prefix + ".downsample.0.weight" in sd:
+        p["down"] = _conv(sd, prefix + ".downsample.0")
+        if norm_fn == "batch":
+            p["norm3"], s["norm3"] = _bn(sd, prefix + ".downsample.1")
+        else:
+            p["norm3"], s["norm3"] = {}, {}
+    return p, s
+
+
+def basic_encoder_params(sd: dict, prefix: str, norm_fn: str):
+    """Map BasicEncoder keys (ref: raft_encoder.py:125-177 / ERAFT/extractor.py)."""
+    g = lambda k: f"{prefix}.{k}" if prefix else k
+    p, s = {}, {}
+    p["conv1"] = _conv(sd, g("conv1"))
+    if norm_fn == "batch":
+        p["norm1"], s["norm1"] = _bn(sd, g("norm1"))
+    else:
+        p["norm1"], s["norm1"] = {}, {}
+    for i in (1, 2, 3):
+        for j, suf in ((0, "a"), (1, "b")):
+            p[f"layer{i}{suf}"], s[f"layer{i}{suf}"] = _residual_block(
+                sd, g(f"layer{i}.{j}"), norm_fn)
+    p["conv2"] = _conv(sd, g("conv2"))
+    return p, s
+
+
+def _seq_mask(sd, prefix):
+    """nn.Sequential(conv3x3, relu, conv1x1) mask heads."""
+    return {"conv1": _conv(sd, prefix + ".0"), "conv2": _conv(sd, prefix + ".2")}
+
+
+def _flow_head(sd, prefix):
+    return {"conv1": _conv(sd, prefix + ".conv1"), "conv2": _conv(sd, prefix + ".conv2")}
+
+
+def _sep_gru(sd, prefix):
+    return {k: _conv(sd, f"{prefix}.{k}") for k in
+            ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2")}
+
+
+def _gru(sd, prefix):
+    return {k: _conv(sd, f"{prefix}.{k}") for k in ("convz", "convr", "convq")}
+
+
+def eraft_params(sd: dict, prefix: str = ""):
+    """Full E-RAFT (ref: ERAFT/eraft.py:37-61). Returns (params, bn_state)."""
+    g = lambda k: f"{prefix}{k}"
+    p, s = {}, {}
+    p["fnet"], s["fnet"] = basic_encoder_params(sd, g("fnet"), "instance")
+    p["cnet"], s["cnet"] = basic_encoder_params(sd, g("cnet"), "batch")
+    enc = g("update_block.encoder")
+    p["update"] = {
+        "encoder": {k: _conv(sd, f"{enc}.{k}") for k in
+                    ("convc1", "convc2", "convf1", "convf2", "conv")},
+        "gru": _sep_gru(sd, g("update_block.gru")),
+        "flow_head": _flow_head(sd, g("update_block.flow_head")),
+        "mask": _seq_mask(sd, g("update_block.mask")),
+    }
+    return p, s
+
+
+def dceiflow_params(sd: dict, prefix: str = ""):
+    """Full DCEIFlow (ref: DCEIFlow/DCEIFlow.py:49-88). Returns (params, bn_state)."""
+    g = lambda k: f"{prefix}{k}"
+    p, s = {}, {}
+    p["fnet"], s["fnet"] = basic_encoder_params(sd, g("fnet"), "instance")
+    p["enet"], s["enet"] = basic_encoder_params(sd, g("enet"), "instance")
+    p["cnet"], s["cnet"] = basic_encoder_params(sd, g("cnet"), "batch")
+    p["fusion"] = {k: _conv(sd, g(f"fusion.{k}")) for k in ("conv1", "conv2", "convo")}
+    enc = g("update_block.encoder")
+    p["update"] = {
+        "encoder": {k: _conv(sd, f"{enc}.{k}") for k in
+                    ("convc1", "convc2", "conve1", "conve2", "convf1", "convf2", "conv")},
+        "gru": _sep_gru(sd, g("update_block.gru")),
+        "flow_head": _flow_head(sd, g("update_block.flow_head")),
+    }
+    return p, s
+
+
+def idnet_params(sd: dict, prefix: str = "", num_outputs: int = 2):
+    """IDNet IDEDEQIDO (ref: idn/idedeq.py:13-47)."""
+    g = lambda k: f"{prefix}{k}"
+    p = {"fnet": {"conv1": _conv(sd, g("fnet.conv1"))}}
+    for i in (1, 2):
+        for j, suf in ((0, "a"), (1, "b")):
+            p["fnet"][f"layer{i}{suf}"], _ = _residual_block(
+                sd, g(f"fnet.layer{i}.{j}"), "none")
+    u = g("update_net")
+    p["update"] = {
+        "gru": _gru(sd, f"{u}.gru"),
+        "flow_head": _flow_head(sd, f"{u}.flow_head"),
+        "mask": _seq_mask(sd, f"{u}.mask"),
+    }
+    if num_outputs == 2:
+        p["update"]["flow_head2"] = _flow_head(sd, f"{u}.flow_head2")
+        p["update"]["mask2"] = _seq_mask(sd, f"{u}.mask2")
+    return p
+
+
+# ---------------------------------------------------------------------------
 # CISTA-LSTC
 # ---------------------------------------------------------------------------
 

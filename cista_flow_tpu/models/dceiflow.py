@@ -1,0 +1,154 @@
+"""DCEIFlow: event + single-image optical flow with hallucinated second-frame
+features (NHWC, functional).
+
+TPU re-design of the reference (ref: DCEIFlow/DCEIFlow.py:49-300):
+image encoder (1ch) + event encoder (num_bins) -> EIFusion produces a
+pseudo second-frame feature map -> all-pairs correlation pyramid (MXU) ->
+context encoder -> 6 GRU iterations under ``lax.scan`` -> flow upsampled with
+``upflow{ds}`` (no learned mask — BasicUpdateBlockNoMask).
+
+The bidirectional branch (image2 + reversed events, training only) reuses the
+same weights on the swapped inputs (ref: DCEIFlow.py:230-270).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import encoders as E
+from ..nn import gru as G
+from ..ops import corr as CORR
+from ..ops.pad import ImagePadder
+from ..ops.resize import upflow
+
+HDIM = 128
+CDIM = 128
+CORR_LEVELS = 4
+CORR_RADIUS = 4
+COR_PLANES = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2
+
+
+def init(key, cfg):
+    """cfg needs: num_bins, ds. Returns (params, bn_state)."""
+    ks = jax.random.split(key, 5)
+    p, s = {}, {}
+    p["fnet"], s["fnet"] = E.basic_encoder_init(ks[0], 1, 256, "instance")
+    p["enet"], s["enet"] = E.basic_encoder_init(ks[1], cfg.num_bins, 256, "instance")
+    p["cnet"], s["cnet"] = E.basic_encoder_init(ks[2], 1, HDIM + CDIM, "batch")
+    kf = jax.random.split(ks[3], 3)
+    from ..ops import conv as C
+    p["fusion"] = {
+        "conv1": C.conv_params(kf[0], 1, 1, 256, 192),
+        "conv2": C.conv_params(kf[1], 1, 1, 256, 192),
+        "convo": C.conv_params(kf[2], 3, 3, 384, 256),
+    }
+    p["update"] = G.basic_update_block_event_init(ks[4], COR_PLANES, HDIM)
+    return p, s
+
+
+def _fusion(p, x1, x2):
+    """EIFusion (ref: DCEIFlow/DCEIFlow.py:32-44): residual event-image fusion."""
+    from ..ops import conv as C
+    c1 = jax.nn.relu(C.apply_conv(p["conv1"], x1))
+    c2 = jax.nn.relu(C.apply_conv(p["conv2"], x2))
+    out = jax.nn.relu(C.apply_conv(
+        p["convo"], jnp.concatenate([c1, c2], axis=-1), padding=1))
+    return out + x1
+
+
+def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters):
+    def step(carry, _):
+        net, coords1 = carry
+        coords1 = jax.lax.stop_gradient(coords1)
+        c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
+        flow = coords1 - coords0
+        net, _, delta = G.basic_update_block_event(
+            params["update"], net, inp, c, emap, flow)
+        coords1 = coords1 + delta
+        flow_up = upflow(coords1 - coords0, ds)
+        return (net, coords1), flow_up
+
+    (net, coords1), flow_preds = jax.lax.scan(
+        step, (net, coords1), None, length=iters)
+    return net, coords1, flow_preds
+
+
+def _single_direction(params, state, emap, fmap1, image1_pad, cfg, iters,
+                      flow_init, train):
+    pseudo_fmap2 = _fusion(params["fusion"], fmap1, emap)
+    pyr = CORR.build_corr_pyramid(fmap1, pseudo_fmap2, CORR_LEVELS)
+
+    cnet, cstate = E.basic_encoder(
+        params["cnet"], state["cnet"], image1_pad, "batch", train=train)
+    net = jnp.tanh(cnet[..., :HDIM])
+    inp = jax.nn.relu(cnet[..., HDIM:])
+
+    B, H, W, _ = image1_pad.shape
+    ds = cfg.ds
+    coords0 = CORR.coords_grid(B, H // ds, W // ds)
+    coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+    padder = ImagePadder(cfg.image_dim, min_size=32)
+    net, coords1, flow_preds = _iterate(
+        params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters)
+    return coords1 - coords0, flow_preds, pseudo_fmap2, cstate
+
+
+def apply(params, state, event_voxel, image1, cfg, image2=None,
+          reversed_event_voxel=None, iters: int = 6, flow_init=None,
+          train: bool = False):
+    """event_voxel: (B,H,W,bins); image1: (B,H,W,1) in [0,1].
+
+    Returns (out_dict, new_state). Dict keys mirror the reference
+    (flow_preds / flow_init / flow_final [+ fmap2_gt/fmap2_pseudo and the _bw
+    family when image2 / reversed events are given]).
+    """
+    padder = ImagePadder(cfg.image_dim, min_size=32)
+    im1 = padder.pad(2.0 * image1 - 1.0)
+    ev = padder.pad(event_voxel)
+
+    emap, estate = E.basic_encoder(
+        params["enet"], state["enet"], ev, "instance", train=train)
+
+    if image2 is not None:
+        im2 = padder.pad(2.0 * image2 - 1.0)
+        B = im1.shape[0]
+        fmaps, fstate = E.basic_encoder(
+            params["fnet"], state["fnet"],
+            jnp.concatenate([im1, im2], axis=0), "instance", train=train)
+        fmap1, fmap2 = fmaps[:B], fmaps[B:]
+    else:
+        fmap1, fstate = E.basic_encoder(
+            params["fnet"], state["fnet"], im1, "instance", train=train)
+        fmap2 = None
+
+    flow_lowres, flow_preds, pseudo_fmap2, cstate = _single_direction(
+        params, state, emap, fmap1, im1, cfg, iters, flow_init, train)
+    flow_final = padder.unpad(flow_preds[-1])
+
+    out = {
+        "flow_preds": flow_preds,   # (iters, B, H_pad, W_pad, 2)
+        "flow_init": flow_lowres,
+        "flow_final": flow_final,
+    }
+    new_state = {"fnet": fstate, "enet": estate, "cnet": cstate}
+
+    if image2 is not None:
+        out["fmap2_gt"] = fmap2
+        out["fmap2_pseudo"] = pseudo_fmap2
+
+    if image2 is not None and reversed_event_voxel is not None:
+        rev = padder.pad(reversed_event_voxel)
+        remap, _ = E.basic_encoder(
+            params["enet"], state["enet"], rev, "instance", train=train)
+        pseudo_fmap1 = _fusion(params["fusion"], fmap2, remap)
+        im2 = padder.pad(2.0 * image2 - 1.0)
+        _, flow_preds_bw, _, _ = _single_direction(
+            params, state, remap, fmap2, im2, cfg, iters, flow_init, train)
+        out["flow_preds_bw"] = flow_preds_bw
+        # reference keeps the backward final flow PADDED (no unpad on the bw
+        # path, ref: DCEIFlow.py:253-279); only the loss consumes it.
+        out["flow_final_bw"] = flow_preds_bw[-1]
+        out["fmap1_gt"] = fmap1
+        out["fmap1_pseudo"] = pseudo_fmap1
+    return out, new_state

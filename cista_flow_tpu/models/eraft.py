@@ -1,0 +1,83 @@
+"""E-RAFT: dense optical flow from two consecutive event voxels (NHWC).
+
+TPU re-design of the reference (ref: ERAFT/eraft.py:37-178): feature encoder
+on both voxels -> all-pairs correlation pyramid (MXU matmul) -> context
+encoder on the NEWER voxel -> 12 GRU update iterations under ``lax.scan``
+(weights constant across iterations) -> convex upsampling.
+
+Returns the same dict surface: flow_preds (stacked, padded), flow_init,
+flow_final (unpadded).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import encoders as E
+from ..nn import gru as G
+from ..ops import corr as CORR
+from ..ops.pad import ImagePadder
+from ..ops.upsample import convex_upsample
+
+HDIM = 128
+CDIM = 128
+CORR_LEVELS = 4
+CORR_RADIUS = 4
+COR_PLANES = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2
+
+
+def init(key, cfg):
+    """cfg needs: num_bins. Returns (params, bn_state)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    p, s = {}, {}
+    p["fnet"], s["fnet"] = E.basic_encoder_init(k1, cfg.num_bins, 256, "instance")
+    p["cnet"], s["cnet"] = E.basic_encoder_init(k2, cfg.num_bins, HDIM + CDIM, "batch")
+    p["update"] = G.basic_update_block_init(k3, COR_PLANES, HDIM)
+    return p, s
+
+
+def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
+          flow_init=None, train: bool = False):
+    """voxel_old/new: (B, H, W, num_bins). Returns (out_dict, new_state)."""
+    padder = ImagePadder(cfg.image_dim, min_size=32)
+    im1 = padder.pad(voxel_old)
+    im2 = padder.pad(voxel_new)
+    B, H, W, _ = im1.shape
+    h8, w8 = H // 8, W // 8
+
+    # batched like the reference's list trick (one encoder call on both)
+    fmaps, fstate = E.basic_encoder(
+        params["fnet"], state["fnet"],
+        jnp.concatenate([im1, im2], axis=0), "instance", train=train)
+    fmap1, fmap2 = fmaps[:B], fmaps[B:]
+
+    pyr = CORR.build_corr_pyramid(fmap1, fmap2, CORR_LEVELS)
+
+    cnet, cstate = E.basic_encoder(
+        params["cnet"], state["cnet"], im2, "batch", train=train)
+    net = jnp.tanh(cnet[..., :HDIM])
+    inp = jax.nn.relu(cnet[..., HDIM:])
+
+    coords0 = CORR.coords_grid(B, h8, w8)
+    coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+    def step(carry, _):
+        net, coords1 = carry
+        coords1 = jax.lax.stop_gradient(coords1)
+        c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
+        flow = coords1 - coords0
+        net, mask, delta = G.basic_update_block(params["update"], net, inp, c, flow)
+        coords1 = coords1 + delta
+        flow_up = convex_upsample(coords1 - coords0, mask, factor=8)
+        return (net, coords1), flow_up
+
+    (net, coords1), flow_preds = jax.lax.scan(
+        step, (net, coords1), None, length=iters)
+
+    flow_final = padder.unpad(flow_preds[-1])
+    out = {
+        "flow_preds": flow_preds,       # (iters, B, H_pad, W_pad, 2)
+        "flow_init": coords1 - coords0,
+        "flow_final": flow_final,       # (B, H, W, 2)
+    }
+    return out, {"fnet": fstate, "cnet": cstate}

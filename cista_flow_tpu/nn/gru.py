@@ -1,0 +1,186 @@
+"""RAFT update blocks: motion encoders, ConvGRU / SepConvGRU, flow heads (NHWC).
+
+ref: DCEIFlow/core/decoder/with_event_updater.py (event-conditioned variants),
+ERAFT/update.py (event-free variants), idn/update.py (LiteUpdateBlock).
+All convs zero-padded (torch default).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv as C
+
+
+# ------------------------- FlowHead -----------------------------------------
+
+def flow_head_init(key, input_dim, hidden_dim):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": C.conv_params(k1, 3, 3, input_dim, hidden_dim),
+        "conv2": C.conv_params(k2, 3, 3, hidden_dim, 2),
+    }
+
+
+def flow_head(p, x):
+    return C.apply_conv(p["conv2"], jax.nn.relu(C.apply_conv(p["conv1"], x, padding=1)), padding=1)
+
+
+# ------------------------- ConvGRU ------------------------------------------
+
+def conv_gru_init(key, hidden_dim, input_dim):
+    ks = jax.random.split(key, 3)
+    cin = hidden_dim + input_dim
+    return {
+        "convz": C.conv_params(ks[0], 3, 3, cin, hidden_dim),
+        "convr": C.conv_params(ks[1], 3, 3, cin, hidden_dim),
+        "convq": C.conv_params(ks[2], 3, 3, cin, hidden_dim),
+    }
+
+
+def conv_gru(p, h, x):
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(C.apply_conv(p["convz"], hx, padding=1))
+    r = jax.nn.sigmoid(C.apply_conv(p["convr"], hx, padding=1))
+    q = jnp.tanh(C.apply_conv(p["convq"], jnp.concatenate([r * h, x], axis=-1), padding=1))
+    return (1 - z) * h + z * q
+
+
+# ------------------------- SepConvGRU ---------------------------------------
+
+def sep_conv_gru_init(key, hidden_dim, input_dim):
+    ks = jax.random.split(key, 6)
+    cin = hidden_dim + input_dim
+    mk = lambda k, kh, kw: C.conv_params(k, kh, kw, cin, hidden_dim)
+    return {
+        "convz1": mk(ks[0], 1, 5), "convr1": mk(ks[1], 1, 5), "convq1": mk(ks[2], 1, 5),
+        "convz2": mk(ks[3], 5, 1), "convr2": mk(ks[4], 5, 1), "convq2": mk(ks[5], 5, 1),
+    }
+
+
+def sep_conv_gru(p, h, x):
+    """Separable 1x5 then 5x1 GRU (ref: with_event_updater.py:35-67)."""
+    for suffix, pad in (("1", (0, 2)), ("2", (2, 0))):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(C.apply_conv(p["convz" + suffix], hx, padding=pad))
+        r = jax.nn.sigmoid(C.apply_conv(p["convr" + suffix], hx, padding=pad))
+        q = jnp.tanh(C.apply_conv(
+            p["convq" + suffix], jnp.concatenate([r * h, x], axis=-1), padding=pad))
+        h = (1 - z) * h + z * q
+    return h
+
+
+# ------------------------- Motion encoders ----------------------------------
+
+def basic_motion_encoder_event_init(key, cor_planes):
+    """Event-conditioned motion encoder (ref: with_event_updater.py:90-112)."""
+    ks = jax.random.split(key, 7)
+    return {
+        "convc1": C.conv_params(ks[0], 1, 1, cor_planes, 256),
+        "convc2": C.conv_params(ks[1], 3, 3, 256, 192),
+        "conve1": C.conv_params(ks[2], 1, 1, 256, 128),
+        "conve2": C.conv_params(ks[3], 3, 3, 128, 64),
+        "convf1": C.conv_params(ks[4], 7, 7, 2, 128),
+        "convf2": C.conv_params(ks[5], 3, 3, 128, 64),
+        "conv": C.conv_params(ks[6], 3, 3, 64 + 192 + 64, 128 - 2),
+    }
+
+
+def basic_motion_encoder_event(p, flow, emap, corr):
+    cor = jax.nn.relu(C.apply_conv(p["convc1"], corr))
+    cor = jax.nn.relu(C.apply_conv(p["convc2"], cor, padding=1))
+    ema = jax.nn.relu(C.apply_conv(p["conve1"], emap))
+    ema = jax.nn.relu(C.apply_conv(p["conve2"], ema, padding=1))
+    flo = jax.nn.relu(C.apply_conv(p["convf1"], flow, padding=3))
+    flo = jax.nn.relu(C.apply_conv(p["convf2"], flo, padding=1))
+    out = jax.nn.relu(C.apply_conv(
+        p["conv"], jnp.concatenate([cor, ema, flo], axis=-1), padding=1))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def basic_motion_encoder_init(key, cor_planes):
+    """Event-free motion encoder (ref: ERAFT/update.py:63-81)."""
+    ks = jax.random.split(key, 5)
+    return {
+        "convc1": C.conv_params(ks[0], 1, 1, cor_planes, 256),
+        "convc2": C.conv_params(ks[1], 3, 3, 256, 192),
+        "convf1": C.conv_params(ks[2], 7, 7, 2, 128),
+        "convf2": C.conv_params(ks[3], 3, 3, 128, 64),
+        "conv": C.conv_params(ks[4], 3, 3, 64 + 192, 128 - 2),
+    }
+
+
+def basic_motion_encoder(p, flow, corr):
+    cor = jax.nn.relu(C.apply_conv(p["convc1"], corr))
+    cor = jax.nn.relu(C.apply_conv(p["convc2"], cor, padding=1))
+    flo = jax.nn.relu(C.apply_conv(p["convf1"], flow, padding=3))
+    flo = jax.nn.relu(C.apply_conv(p["convf2"], flo, padding=1))
+    out = jax.nn.relu(C.apply_conv(
+        p["conv"], jnp.concatenate([cor, flo], axis=-1), padding=1))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+# ------------------------- Update blocks ------------------------------------
+
+def mask_head_init(key, hidden_dim, out_ch):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": C.conv_params(k1, 3, 3, hidden_dim, 256),
+        "conv2": C.conv_params(k2, 1, 1, 256, out_ch),
+    }
+
+
+def mask_head(p, x):
+    return C.apply_conv(p["conv2"], jax.nn.relu(C.apply_conv(p["conv1"], x, padding=1)))
+
+
+def basic_update_block_event_init(key, cor_planes, hidden_dim=128):
+    """DCEIFlow's BasicUpdateBlockNoMask (ref: with_event_updater.py:156-171)."""
+    ks = jax.random.split(key, 3)
+    return {
+        "encoder": basic_motion_encoder_event_init(ks[0], cor_planes),
+        "gru": sep_conv_gru_init(ks[1], hidden_dim, 128 + hidden_dim),
+        "flow_head": flow_head_init(ks[2], hidden_dim, 256),
+    }
+
+
+def basic_update_block_event(p, net, inp, corr, emap, flow):
+    motion = basic_motion_encoder_event(p["encoder"], flow, emap, corr)
+    net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
+    return net, None, flow_head(p["flow_head"], net)
+
+
+def basic_update_block_init(key, cor_planes, hidden_dim=128):
+    """ERAFT's BasicUpdateBlock with upsample mask (ref: ERAFT/update.py:84-106)."""
+    ks = jax.random.split(key, 4)
+    return {
+        "encoder": basic_motion_encoder_init(ks[0], cor_planes),
+        "gru": sep_conv_gru_init(ks[1], hidden_dim, 128 + hidden_dim),
+        "flow_head": flow_head_init(ks[2], hidden_dim, 256),
+        "mask": mask_head_init(ks[3], 128, 64 * 9),
+    }
+
+
+def basic_update_block(p, net, inp, corr, flow):
+    motion = basic_motion_encoder(p["encoder"], flow, corr)
+    net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
+    delta_flow = flow_head(p["flow_head"], net)
+    mask = 0.25 * mask_head(p["mask"], net)
+    return net, mask, delta_flow
+
+
+# ------------------------- IDNet LiteUpdateBlock ----------------------------
+
+def lite_update_block_init(key, hidden_dim, input_dim, num_outputs=2, downsample=8):
+    """ref: idn/update.py:47-64."""
+    ks = jax.random.split(key, 5)
+    mdim = downsample * downsample * 9
+    p = {
+        "gru": conv_gru_init(ks[0], hidden_dim, input_dim),
+        "flow_head": flow_head_init(ks[1], hidden_dim, hidden_dim),
+        "mask": mask_head_init(ks[2], hidden_dim, mdim),
+    }
+    if num_outputs == 2:
+        p["flow_head2"] = flow_head_init(ks[3], hidden_dim, hidden_dim)
+        p["mask2"] = mask_head_init(ks[4], hidden_dim, mdim)
+    return p

@@ -1,0 +1,81 @@
+"""All-pairs correlation volume + pyramid lookup (the RAFT hot kernel), NHWC.
+
+ref: DCEIFlow/core/corr/raft_corr.py:15-65 and ERAFT/corr.py:12-60 (identical).
+
+TPU design: the all-pairs product is one batched (H1*W1, D) x (D, H2*W2)
+matmul that tiles directly onto the MXU. The 4-level pyramid is built with
+2x2 average pools over the *target* spatial dims. Lookup samples a
+(2r+1)^2 window per level with the standard RAFT bilinear sampler
+(zeros padding, align_corners=True).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .pool import avg_pool2
+from .warp import bilinear_sampler
+
+
+class CorrPyramid(NamedTuple):
+    # each level: (B*H1*W1, h_l, w_l, 1)
+    levels: tuple
+    batch: int
+    h1: int
+    w1: int
+
+
+def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                       num_levels: int = 4) -> CorrPyramid:
+    """fmap1/fmap2: (B, H, W, D) -> pyramid of correlation slices."""
+    B, H, W, D = fmap1.shape
+    a = fmap1.reshape(B, H * W, D).astype(jnp.float32)
+    b = fmap2.reshape(B, H * W, D).astype(jnp.float32)
+    # (B, H1W1, H2W2) on the MXU
+    corr = jnp.einsum("bnd,bmd->bnm", a, b,
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.float32(D))
+    corr = corr.reshape(B * H * W, H, W, 1)
+    levels = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool2(corr)
+        levels.append(corr)
+    return CorrPyramid(tuple(levels), B, H, W)
+
+
+def lookup_corr(pyr: CorrPyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Sample (2r+1)^2 windows around ``coords`` at every pyramid level.
+
+    coords: (B, H1, W1, 2) pixel coords in level-0 units.
+    Returns (B, H1, W1, num_levels*(2r+1)^2), level-major like the torch cat.
+    """
+    r = radius
+    B, H1, W1, _ = coords.shape
+    n = B * H1 * W1
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # Window channel order must match the checkpoints: torch builds
+    # delta[i, j] = (d_i, d_j) added to (x, y) (its meshgrid(dy, dx, 'ij')
+    # stacked last puts the FIRST axis on x), then flattens (i, j) row-major.
+    # So the flattened window channel is x-offset-major.
+    dxx, dyy = jnp.meshgrid(d, d, indexing="ij")
+    delta = jnp.stack([dxx, dyy], axis=-1)  # delta[i, j] = (d_i, d_j)
+
+    out = []
+    centroid = coords.reshape(n, 1, 1, 2)
+    for i, level in enumerate(pyr.levels):
+        c = centroid / (2.0 ** i) + delta[None]
+        sampled = bilinear_sampler(level, c)  # (n, 2r+1, 2r+1, 1)
+        out.append(sampled.reshape(B, H1, W1, (2 * r + 1) ** 2))
+    return jnp.concatenate(out, axis=-1)
+
+
+def coords_grid(batch: int, h: int, w: int) -> jnp.ndarray:
+    """(B, H, W, 2) grid of (x, y) pixel coords
+    (ref: DCEIFlow/utils/sample_utils.py:55-58)."""
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    g = jnp.stack([gx, gy], axis=-1)
+    return jnp.broadcast_to(g[None], (batch, h, w, 2))

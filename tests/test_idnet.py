@@ -1,0 +1,58 @@
+"""IDNet parity vs the upstream torch reference at equal weights."""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from conftest import add_reference_to_path
+from cista_flow_tpu.ckpt import torch_import as ti
+from cista_flow_tpu.models import idnet
+
+
+class Cfg:
+    image_dim = (100, 172)
+
+
+@pytest.fixture(scope="module")
+def ref_net():
+    add_reference_to_path()
+    import types
+
+    from idn.idedeq import IDEDEQIDO
+
+    torch.manual_seed(0)
+    config = types.SimpleNamespace(update_iters=1, pred_next_flow=True,
+                                   image_dim=(100, 172))
+    net = IDEDEQIDO(config)
+    net.eval()
+    return net
+
+
+def t(x):
+    return torch.from_numpy(np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))
+
+
+@pytest.mark.parametrize("with_init", [False, True])
+def test_idnet_forward_parity(ref_net, with_init):
+    rng = np.random.default_rng(7)
+    B, H, W = 1, 100, 172
+    ev = rng.standard_normal((B, H, W, 5), dtype=np.float32)
+    flow_init = None
+    tflow_init = None
+    if with_init:
+        # flow_init lives at PADDED resolution (next_flow chaining)
+        fi = (rng.standard_normal((B, 128, 192, 2)) * 2).astype(np.float32)
+        flow_init = jnp.asarray(fi)
+        tflow_init = t(fi)
+
+    with torch.no_grad():
+        ref = ref_net(event_bins=t(ev), flow_init=tflow_init)
+
+    params = ti.idnet_params(ti.from_torch(ref_net))
+    out = idnet.apply(params, jnp.asarray(ev), Cfg(), flow_init=flow_init)
+
+    for key in ("flow_final", "next_flow"):
+        ref_v = np.transpose(ref[key].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out[key]), ref_v,
+                                   rtol=1e-3, atol=1e-3, err_msg=key)
