@@ -179,6 +179,26 @@ def idnet_params(sd: dict, prefix: str = "", num_outputs: int = 2):
 
 
 # ---------------------------------------------------------------------------
+# Composite CISTA-Flow checkpoints ('cista_net.' + 'event_flownet.' prefixes,
+# ref: e2v/e2v_model.py:102-133 module names)
+# ---------------------------------------------------------------------------
+
+def composite_params(sd: dict, model_mode: str):
+    """Full CISTA-Flow checkpoint -> ({'cista', 'flow'}, model_state)."""
+    params = {"cista": cista_lstc_params(sd, prefix="cista_net.")}
+    model_state = {"flow": {}}
+    if model_mode == "cista-eiflow":
+        params["flow"], model_state["flow"] = dceiflow_params(sd, "event_flownet.")
+    elif model_mode == "cista-eraft":
+        params["flow"], model_state["flow"] = eraft_params(sd, "event_flownet.")
+    elif model_mode == "cista-idnet":
+        params["flow"] = idnet_params(sd, "event_flownet.")
+    else:
+        params["flow"] = {}
+    return params, model_state
+
+
+# ---------------------------------------------------------------------------
 # CISTA-LSTC
 # ---------------------------------------------------------------------------
 

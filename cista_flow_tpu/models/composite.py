@@ -1,0 +1,127 @@
+"""Composite CISTA-Flow system models (NHWC, functional).
+
+DCEIFlowCistaNet / ERAFTCistaNet / IDCistaNet equivalents
+(ref: e2v/e2v_model.py:138-308): per step, estimate flow from events (+
+previous reconstruction), warp the previous frame and the recurrent sparse
+codes along it, then reconstruct with CISTA-LSTC.
+
+Differences from the reference, by design:
+* state is always explicit (zero-state constructors; no ``None`` branches)
+* the data-dependent zero-flow short-circuit (ref: e2v_model.py:184-185)
+  becomes a ``jnp.where`` on a scalar predicate — exact same numerics,
+  jit-compatible
+* ``fix_params`` (requires_grad mutation, ref: e2v_model.py:116-133) becomes
+  ``stop_gradient`` on the frozen subtree + optimizer masking in train.py
+* the 2-GPU model split (ref: e2v_model.py:312-346) is replaced by mesh
+  sharding in cista_flow_tpu.parallel.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import interpolate_scale
+from ..ops.warp import frame_warp
+from . import cista_lstc, dceiflow, eraft, idnet
+
+FLOW_MODES = ("cista-eiflow", "cista-eraft", "cista-idnet")
+
+
+def init(key, cfg):
+    """Returns (params, model_state) for the full composite.
+
+    params = {'cista': ..., 'flow': ...}; model_state holds flow-net BN stats.
+    """
+    k1, k2 = jax.random.split(key)
+    params = {"cista": cista_lstc.init(k1, cfg)}
+    model_state = {}
+    if cfg.model_mode == "cista-eiflow":
+        params["flow"], model_state["flow"] = dceiflow.init(k2, cfg)
+    elif cfg.model_mode == "cista-eraft":
+        params["flow"], model_state["flow"] = eraft.init(k2, cfg)
+    elif cfg.model_mode == "cista-idnet":
+        params["flow"] = idnet.init(k2, cfg)
+        model_state["flow"] = {}
+    elif cfg.model_mode in ("cista-lstc", "cista-gtflow"):
+        params["flow"] = {}
+        model_state["flow"] = {}
+    else:
+        raise ValueError(f"unknown model_mode {cfg.model_mode}")
+    return params, model_state
+
+
+def zero_state(batch: int, cfg) -> cista_lstc.CistaState:
+    return cista_lstc.zero_state(batch, cfg.image_dim, cfg.base_channels)
+
+
+def _maybe_freeze(tree, frozen: bool):
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, tree) if frozen else tree
+
+
+def _warp_inputs(rec_img0, state, flow_final, cfg):
+    """Warp previous frame (full res) + sparse codes (half res) along flow;
+    keep the reference's exact zero-flow short-circuit semantics."""
+    warped_i = frame_warp(rec_img0, flow_final, mode=cfg.warp_mode)
+    half_flow = interpolate_scale(flow_final, cfg.scale_factor, align_corners=True)
+    warped_z = frame_warp(state.sparse_code, half_flow, mode=cfg.warp_mode)
+    any_flow = jnp.any(flow_final != 0)
+    warped_i = jnp.where(any_flow, warped_i, rec_img0)
+    warped_z = jnp.where(any_flow, warped_z, state.sparse_code)
+    return warped_i, state._replace(sparse_code=warped_z)
+
+
+def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
+          fix_net_name=None, train=False, iters=None, flow_init=None):
+    """One reconstruction step.
+
+    batch_data: dict with NHWC arrays — event_voxel (B,H,W,bins),
+      rec_img0 (B,H,W,1); + event_voxel_old (eraft) / event_voxel_bw,
+      flow_init (eiflow warm start).
+    batch_gt: optional dict — gt_img0/gt_img1 (eiflow training),
+      gt_flow (GT-flow training mode).
+    Returns (I_rec, batch_flow, new_state, new_model_state).
+    """
+    batch_gt = batch_gt or {}
+    iters = iters if iters is not None else cfg.default_flow_iters()
+    events = batch_data["event_voxel"]
+    rec_img0 = batch_data["rec_img0"]
+    new_model_state = dict(model_state)
+
+    flow_params = _maybe_freeze(params.get("flow", {}), fix_net_name == "rec")
+    cista_params = _maybe_freeze(params["cista"], fix_net_name == "flow")
+
+    # --- flow estimation ---------------------------------------------------
+    if cfg.model_mode == "cista-eiflow":
+        image1 = batch_gt.get("gt_img0", rec_img0)
+        batch_flow, new_model_state["flow"] = dceiflow.apply(
+            flow_params, model_state["flow"], events, image1, cfg,
+            image2=batch_gt.get("gt_img1"),
+            reversed_event_voxel=batch_data.get("event_voxel_bw"),
+            iters=iters, flow_init=batch_data.get("flow_init"),
+            train=train and fix_net_name != "rec")
+    elif cfg.model_mode == "cista-eraft":
+        batch_flow, new_model_state["flow"] = eraft.apply(
+            flow_params, model_state["flow"],
+            batch_data["event_voxel_old"], events, cfg, iters=iters,
+            train=train and fix_net_name != "rec")
+    elif cfg.model_mode == "cista-idnet":
+        batch_flow = idnet.apply(flow_params, events, cfg,
+                                 flow_init=flow_init, deblur_iters=iters)
+    else:  # cista-lstc / cista-gtflow: no flow net; GT flow or zero flow
+        zero = jnp.zeros((*rec_img0.shape[:3], 2), rec_img0.dtype)
+        batch_flow = {"flow_final": batch_gt.get("gt_flow", zero),
+                      "flow_preds": []}
+
+    flow_final = batch_flow["flow_final"]
+    if fix_net_name == "flow":
+        flow_final = jax.lax.stop_gradient(flow_final)
+    if "gt_flow" in batch_gt:
+        flow_final = batch_gt["gt_flow"]
+
+    # --- warp + reconstruct --------------------------------------------------
+    warped_i, state = _warp_inputs(rec_img0, state, flow_final, cfg)
+    i_rec, new_state = cista_lstc.apply(cista_params, events, warped_i, state,
+                                        depth=cfg.depth)
+    return i_rec, batch_flow, new_state, new_model_state
