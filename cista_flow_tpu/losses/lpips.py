@@ -1,0 +1,143 @@
+"""LPIPS perceptual distance in JAX (AlexNet backbone, the reference's choice).
+
+The reference wraps ``lpips.LPIPS(net='alex')`` with 1->3 channel tiling and
+``normalize=True`` ([0,1] -> [-1,1]) (ref: utils/evaluate.py:45-68;
+loss.py:310). This is a faithful re-implementation:
+
+* scaling layer: (x - shift) / scale with the published constants
+* AlexNet features: 5 conv stages, taps after each ReLU
+* per-tap unit-normalization over channels, squared diff, learned 1x1 linear
+  heads, spatial mean, summed over taps.
+
+Pretrained weights (torchvision AlexNet features + lpips linear heads) load
+from the official checkpoint files via ``load_torch_weights`` — this image
+has no network access, so without a weights file the module runs with random
+weights (fine for smoke tests and for architectures that do not need the
+perceptual term; quality evals should provide weights).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import conv as C
+
+# (out, in, kernel, stride, pad) of torchvision AlexNet features convs
+_ALEX = [
+    (64, 3, 11, 4, 2),
+    (192, 64, 5, 1, 2),
+    (384, 192, 3, 1, 1),
+    (256, 384, 3, 1, 1),
+    (256, 256, 3, 1, 1),
+]
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def init(key) -> dict:
+    ks = jax.random.split(key, 10)
+    params = {"convs": [], "lins": []}
+    for i, (cout, cin, k, _, _) in enumerate(_ALEX):
+        params["convs"].append(C.conv_params(ks[i], k, k, cin, cout))
+        params["lins"].append(
+            {"w": jnp.abs(0.01 * jax.random.normal(ks[5 + i], (1, 1, cout, 1)))})
+    return params
+
+
+def _maxpool32(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+
+
+def _features(params, x):
+    taps = []
+    for i, (cout, cin, k, stride, pad) in enumerate(_ALEX):
+        x = C.apply_conv(params["convs"][i], x, stride=stride, padding=pad)
+        x = jax.nn.relu(x)
+        taps.append(x)
+        if i in (0, 1):
+            x = _maxpool32(x)
+    return taps
+
+
+def _unit_normalize(x, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+def lpips(params: dict, pred: jnp.ndarray, target: jnp.ndarray,
+          normalize: bool = True) -> jnp.ndarray:
+    """Mean LPIPS distance. pred/target: (B, H, W, 1 or 3) in [0,1] if
+    ``normalize`` else [-1,1]."""
+    if pred.shape[-1] == 1:
+        pred = jnp.tile(pred, (1, 1, 1, 3))
+        target = jnp.tile(target, (1, 1, 1, 3))
+    if normalize:
+        pred = 2.0 * pred - 1.0
+        target = 2.0 * target - 1.0
+    shift = jnp.asarray(_SHIFT)
+    scale = jnp.asarray(_SCALE)
+    pred = (pred - shift) / scale
+    target = (target - shift) / scale
+
+    f1 = _features(params, pred)
+    f2 = _features(params, target)
+    total = 0.0
+    for i, (a, b) in enumerate(zip(f1, f2)):
+        d = (_unit_normalize(a) - _unit_normalize(b)) ** 2
+        v = C.apply_conv(params["lins"][i], d)  # 1x1 linear head, no bias
+        total = total + jnp.mean(v, axis=(1, 2, 3))
+    return jnp.mean(total)
+
+
+def load_torch_weights(alexnet_path: str | None = None,
+                       lpips_path: str | None = None,
+                       lpips_full_path: str | None = None) -> dict:
+    """Build params from torch checkpoints.
+
+    Either pass ``lpips_full_path`` (a full lpips.LPIPS state_dict containing
+    net.slice* convs + lin* heads) or the torchvision ``alexnet_path`` +
+    lpips linear-head ``lpips_path``.
+    """
+    import torch
+
+    params = {"convs": [], "lins": []}
+
+    def conv_from(w, b=None):
+        p = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+        if b is not None:
+            p["b"] = jnp.asarray(b)
+        return p
+
+    if lpips_full_path is not None:
+        sd = torch.load(lpips_full_path, map_location="cpu", weights_only=False)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        # net.slice{1..5}.<idx>.weight — collect conv layers in order
+        conv_keys = sorted(
+            [k for k in sd if k.startswith("net.") and k.endswith(".weight")
+             and sd[k].ndim == 4],
+            key=lambda k: (int(k.split(".")[1][5:]), int(k.split(".")[2])))
+        for k in conv_keys:
+            params["convs"].append(conv_from(sd[k], sd[k[:-6] + "bias"]))
+        for i in range(5):
+            w = sd[f"lin{i}.model.1.weight"]  # (1, C, 1, 1)
+            params["lins"].append({"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))})
+        return params
+
+    if alexnet_path is not None:
+        sd = torch.load(alexnet_path, map_location="cpu", weights_only=False)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        idxs = [0, 3, 6, 8, 10]
+        for i in idxs:
+            params["convs"].append(
+                conv_from(sd[f"features.{i}.weight"], sd[f"features.{i}.bias"]))
+    if lpips_path is not None:
+        sd = torch.load(lpips_path, map_location="cpu", weights_only=False)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        for i in range(5):
+            w = sd[f"lin{i}.model.1.weight"]
+            params["lins"].append({"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))})
+    return params
