@@ -33,33 +33,67 @@ _ALEX = [
     (256, 384, 3, 1, 1),
     (256, 256, 3, 1, 1),
 ]
+# VGG16 conv plan: (out, in); taps after relu{1_2, 2_2, 3_3, 4_3, 5_3};
+# maxpool (2x2 s2) after each tap except the last.
+_VGG = [
+    [(64, 3), (64, 64)],
+    [(128, 64), (128, 128)],
+    [(256, 128), (256, 256), (256, 256)],
+    [(512, 256), (512, 512), (512, 512)],
+    [(512, 512), (512, 512), (512, 512)],
+]
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
-def init(key) -> dict:
-    ks = jax.random.split(key, 10)
+def init(key, net: str = "alex") -> dict:
     params = {"convs": [], "lins": []}
-    for i, (cout, cin, k, _, _) in enumerate(_ALEX):
-        params["convs"].append(C.conv_params(ks[i], k, k, cin, cout))
-        params["lins"].append(
-            {"w": jnp.abs(0.01 * jax.random.normal(ks[5 + i], (1, 1, cout, 1)))})
+    if net == "alex":
+        ks = jax.random.split(key, 10)
+        for i, (cout, cin, k, _, _) in enumerate(_ALEX):
+            params["convs"].append(C.conv_params(ks[i], k, k, cin, cout))
+            params["lins"].append(
+                {"w": jnp.abs(0.01 * jax.random.normal(ks[5 + i], (1, 1, cout, 1)))})
+    elif net == "vgg":
+        n = sum(len(s) for s in _VGG)
+        ks = jax.random.split(key, n + 5)
+        i = 0
+        for stage in _VGG:
+            for cout, cin in stage:
+                params["convs"].append(C.conv_params(ks[i], 3, 3, cin, cout))
+                i += 1
+        for j, stage in enumerate(_VGG):
+            cout = stage[-1][0]
+            params["lins"].append(
+                {"w": jnp.abs(0.01 * jax.random.normal(ks[n + j], (1, 1, cout, 1)))})
+    else:
+        raise ValueError(net)
     return params
 
 
-def _maxpool32(x):
+def _maxpool(x, k, s):
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1), "VALID")
 
 
 def _features(params, x):
     taps = []
-    for i, (cout, cin, k, stride, pad) in enumerate(_ALEX):
-        x = C.apply_conv(params["convs"][i], x, stride=stride, padding=pad)
-        x = jax.nn.relu(x)
-        taps.append(x)
-        if i in (0, 1):
-            x = _maxpool32(x)
+    if len(params["convs"]) == 5:  # alex
+        for i, (cout, cin, k, stride, pad) in enumerate(_ALEX):
+            x = C.apply_conv(params["convs"][i], x, stride=stride, padding=pad)
+            x = jax.nn.relu(x)
+            taps.append(x)
+            if i in (0, 1):
+                x = _maxpool(x, 3, 2)
+    else:  # vgg16
+        i = 0
+        for si, stage in enumerate(_VGG):
+            for _ in stage:
+                x = jax.nn.relu(C.apply_conv(params["convs"][i], x, padding=1))
+                i += 1
+            taps.append(x)
+            if si < len(_VGG) - 1:
+                x = _maxpool(x, 2, 2)
     return taps
 
 
@@ -130,8 +164,11 @@ def load_torch_weights(alexnet_path: str | None = None,
     if alexnet_path is not None:
         sd = torch.load(alexnet_path, map_location="cpu", weights_only=False)
         sd = {k: v.numpy() for k, v in sd.items()}
-        idxs = [0, 3, 6, 8, 10]
-        for i in idxs:
+        conv_idxs = sorted(
+            int(k.split(".")[1]) for k in sd
+            if k.startswith("features.") and k.endswith(".weight")
+            and sd[k].ndim == 4)
+        for i in conv_idxs:
             params["convs"].append(
                 conv_from(sd[f"features.{i}.weight"], sd[f"features.{i}.bias"]))
     if lpips_path is not None:

@@ -27,12 +27,15 @@ def recon_loss(out, rec_img0, batch_target, cfg, lpips_params=None,
                is_loss_consis=True):
     """``ReconLoss.forward`` (ref: loss.py:331-354). Returns (loss, dict)."""
     gt = batch_target["gt_img1"]
-    if is_loss_consis:
+    # ``is_loss_consis`` may be a traced bool (lax.scan over the unroll):
+    # compute the term branch-free and gate it with a multiply.
+    if isinstance(is_loss_consis, bool) and not is_loss_consis:
+        consis = 0.0
+    else:
         m = batch_target["valid"]
         warped_prev = frame_warp(rec_img0, batch_target["gt_flow"], cfg.warp_mode)
         consis = 5.0 * jnp.mean(m * jnp.abs(warped_prev - out))
-    else:
-        consis = 0.0
+        consis = consis * jnp.asarray(is_loss_consis, consis.dtype)
     l1 = jnp.mean(jnp.abs(out - gt))
     ssim_loss = 1.0 - ssim(out, gt, data_range=1.0)
     lp = (lpips_mod.lpips(lpips_params, out, gt, normalize=True)

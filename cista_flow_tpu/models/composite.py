@@ -89,8 +89,10 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
     rec_img0 = batch_data["rec_img0"]
     new_model_state = dict(model_state)
 
-    flow_params = _maybe_freeze(params.get("flow", {}), fix_net_name == "rec")
-    cista_params = _maybe_freeze(params["cista"], fix_net_name == "flow")
+    # fix_params('rec') freezes the RECONSTRUCTION net and trains flow;
+    # fix_params('flow') freezes the FLOW net (ref: e2v_model.py:116-133)
+    flow_params = _maybe_freeze(params.get("flow", {}), fix_net_name == "flow")
+    cista_params = _maybe_freeze(params["cista"], fix_net_name == "rec")
 
     # --- flow estimation ---------------------------------------------------
     if cfg.model_mode == "cista-eiflow":

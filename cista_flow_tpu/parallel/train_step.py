@@ -1,0 +1,130 @@
+"""Sharded training step: BPTT over the sequence unroll, data-parallel grads.
+
+Mirrors the reference's training semantics (ref: train.py:180-232):
+* per sequence: state reset, rec_img0 = zeros at s=0 then the previous
+  output WITHOUT detach (gradient flows through the whole unroll)
+* loss accumulated across the unroll, one optimizer step per sequence
+* temporal-consistency term enabled from s >= 2
+* phase schedule freezes one subnet: frozen params get exactly-zero grads
+  (stop_gradient inside the composite) AND their Adam moments are kept
+  untouched (torch's requires_grad=False semantics).
+
+The whole unroll is a single ``lax.scan`` under ``jit`` over a Mesh: batch
+sharded on the 'data' axis, params replicated — XLA inserts the gradient
+all-reduce over ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import composite
+from ..losses.recon import flow_recon_loss
+from .mesh import batch_sharding, replicated
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """Adam with injectable lr (reference: Adam + StepLR(10, 0.9) + the
+    phase-3 hard override to 3e-5 — ref: train.py:92-95,123)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def set_lr(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def step_lr(base_lr: float, epoch: int, step_size: int = 10,
+            gamma: float = 0.9) -> float:
+    return base_lr * (gamma ** (epoch // step_size))
+
+
+def _select_frozen(frozen_key: str, new_tree, old_tree):
+    """Take ``old_tree``'s leaves wherever the path crosses ``frozen_key``."""
+    def fn(path, new_leaf, old_leaf):
+        for p in path:
+            if isinstance(p, jax.tree_util.DictKey) and p.key == frozen_key:
+                return old_leaf
+        return new_leaf
+
+    return jax.tree_util.tree_map_with_path(fn, new_tree, old_tree)
+
+
+def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
+                    use_gt_flow: bool, lpips_params=None, mesh=None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step for one phase.
+
+    seq batch: dict of (T, B, ...) NHWC arrays with keys
+      event_voxel, gt_img0, gt_img1, gt_flow
+      [+ event_voxel_old (eraft) | event_voxel_bw (eiflow bi)].
+    Returns step(params, model_state, opt_state, seq) ->
+      (params, model_state, opt_state, loss).
+    """
+    frozen_key = {"rec": "cista", "flow": "flow"}.get(fix_net_name)
+
+    def loss_fn(params, model_state, seq):
+        t_len, batch = seq["event_voxel"].shape[:2]
+        h, w = cfg.image_dim
+        state0 = composite.zero_state(batch, cfg)
+        rec0 = jnp.zeros((batch, h, w, 1), seq["event_voxel"].dtype)
+
+        consis_flags = jnp.arange(t_len) >= 2  # ref: train.py:212
+
+        def body(carry, xs):
+            state, rec_prev, mstate = carry
+            step_data, is_consis = xs
+            batch_data = {"event_voxel": step_data["event_voxel"],
+                          "rec_img0": rec_prev}
+            for k in ("event_voxel_old", "event_voxel_bw"):
+                if k in step_data:
+                    batch_data[k] = step_data[k]
+            batch_gt = {"gt_img1": step_data["gt_img1"]}
+            if use_gt_flow:
+                batch_gt["gt_flow"] = step_data["gt_flow"]
+
+            rec, batch_flow, state, mstate = composite.apply(
+                params, mstate, batch_data, state, cfg, batch_gt=batch_gt,
+                fix_net_name=fix_net_name, train=True)
+
+            target = {"gt_img0": step_data["gt_img0"],
+                      "gt_img1": step_data["gt_img1"],
+                      "gt_flow": step_data["gt_flow"]}
+            loss = flow_recon_loss(
+                rec, rec_prev, batch_flow, target, cfg, loss_mode,
+                lpips_params=lpips_params, is_loss_consis=is_consis)
+            return (state, rec, mstate), loss
+
+        (state, rec, mstate), losses = jax.lax.scan(
+            body, (state0, rec0, model_state), (seq, consis_flags))
+        return jnp.sum(losses), mstate
+
+    def step(params, model_state, opt_state, seq):
+        (loss, new_mstate), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, model_state, seq)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        if frozen_key is not None:
+            # frozen subtree: zero update, preserve Adam moments (torch's
+            # requires_grad=False semantics; the global step count still
+            # advances — optax Adam has no per-param step, documented drift)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, updates)
+            updates = _select_frozen(frozen_key, updates, zeros)
+            new_opt_state = _select_frozen(frozen_key, new_opt_state, opt_state)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_mstate, new_opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, bsh),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1, 2) if donate else (),
+    )
