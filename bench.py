@@ -1,0 +1,80 @@
+"""Benchmark: end-to-end reconstructed frames/sec of the flagship pipeline.
+
+Runs the full cista-eiflow step (DCEIFlow 6 GRU iterations -> frame/state
+warp -> CISTA-LSTC, 180x240, 5-bin voxels — the reference's headline
+configuration) as a closed recurrent loop on the real TPU chip and reports
+frames/sec against the driver's north-star target (2000 fps/chip,
+/root/repo/BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 2000.0
+
+
+def main():
+    from cista_flow_tpu.configs import Config
+    from cista_flow_tpu.models import composite
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    cfg = Config(model_mode="cista-eiflow", image_dim=(180, 240), dtype=dtype)
+    h, w = cfg.image_dim
+
+    params, mstate = composite.init(jax.random.PRNGKey(0), cfg)
+    cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    if dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params)
+
+    @jax.jit
+    def step(params, mstate, events, rec0, state):
+        batch_data = {"event_voxel": events, "rec_img0": rec0}
+        rec, _, new_state, _ = composite.apply(params, mstate, batch_data,
+                                               state, cfg)
+        return rec, new_state
+
+    rng = np.random.default_rng(0)
+    events = jnp.asarray(
+        rng.standard_normal((batch, h, w, cfg.num_bins)), cdt)
+    rec = jnp.zeros((batch, h, w, 1), cdt)
+    state = jax.tree_util.tree_map(
+        lambda x: x.astype(cdt), composite.zero_state(batch, cfg))
+
+    # warmup / compile
+    rec_w, state_w = step(params, mstate, events, rec, state)
+    jax.block_until_ready(rec_w)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        rec, state = step(params, mstate, events, rec, state)
+    jax.block_until_ready(rec)
+    dt = time.perf_counter() - t0
+
+    fps = steps * batch / dt
+    print(json.dumps({
+        "metric": "e2e_recon_frames_per_sec_180x240_cista_eiflow",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,11 @@ def basic_update_block_event_init(key, cor_planes, hidden_dim=128):
 
 
 def basic_update_block_event(p, net, inp, corr, emap, flow):
+    # corr is built in fp32 (MXU accumulate); flows stay fp32 for sub-pixel
+    # accuracy — cast both to the compute dtype at the block boundary so the
+    # scan carry keeps one dtype in bf16 mode.
+    corr = corr.astype(net.dtype)
+    flow = flow.astype(net.dtype)
     motion = basic_motion_encoder_event(p["encoder"], flow, emap, corr)
     net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
     return net, None, flow_head(p["flow_head"], net)
@@ -162,6 +167,8 @@ def basic_update_block_init(key, cor_planes, hidden_dim=128):
 
 
 def basic_update_block(p, net, inp, corr, flow):
+    corr = corr.astype(net.dtype)
+    flow = flow.astype(net.dtype)
     motion = basic_motion_encoder(p["encoder"], flow, corr)
     net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
     delta_flow = flow_head(p["flow_head"], net)
