@@ -229,6 +229,139 @@ def cista_lstc_params(sd: dict, prefix: str = "") -> dict:
     }
 
 
+def _put_conv(out, prefix, p):
+    out[prefix + ".weight"] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+    if "b" in p:
+        out[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _put_bn(out, prefix, p, s):
+    out[prefix + ".weight"] = np.asarray(p["scale"])
+    out[prefix + ".bias"] = np.asarray(p["bias"])
+    out[prefix + ".running_mean"] = np.asarray(s["mean"])
+    out[prefix + ".running_var"] = np.asarray(s["var"])
+    out[prefix + ".num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def _export_residual_block(out, prefix, p, s, norm_fn):
+    _put_conv(out, prefix + ".conv1", p["conv1"])
+    _put_conv(out, prefix + ".conv2", p["conv2"])
+    if norm_fn == "batch":
+        _put_bn(out, prefix + ".norm1", p["norm1"], s["norm1"])
+        _put_bn(out, prefix + ".norm2", p["norm2"], s["norm2"])
+    if "down" in p:
+        _put_conv(out, prefix + ".downsample.0", p["down"])
+        if norm_fn == "batch":
+            # torch registers norm3 twice: as an attribute AND inside the
+            # downsample Sequential (same tensors) — emit both key sets
+            _put_bn(out, prefix + ".downsample.1", p["norm3"], s["norm3"])
+            _put_bn(out, prefix + ".norm3", p["norm3"], s["norm3"])
+
+
+def basic_encoder_export(p, s, prefix, norm_fn) -> dict:
+    out = {}
+    _put_conv(out, prefix + ".conv1", p["conv1"])
+    if norm_fn == "batch":
+        _put_bn(out, prefix + ".norm1", p["norm1"], s["norm1"])
+    for i in (1, 2, 3):
+        for j, suf in ((0, "a"), (1, "b")):
+            _export_residual_block(out, f"{prefix}.layer{i}.{j}",
+                                   p[f"layer{i}{suf}"],
+                                   s.get(f"layer{i}{suf}", {}), norm_fn)
+    _put_conv(out, prefix + ".conv2", p["conv2"])
+    return out
+
+
+def _export_named_convs(out, prefix, p, names):
+    for n in names:
+        _put_conv(out, f"{prefix}.{n}", p[n])
+
+
+def _export_flow_head(out, prefix, p):
+    _put_conv(out, prefix + ".conv1", p["conv1"])
+    _put_conv(out, prefix + ".conv2", p["conv2"])
+
+
+def _export_seq_mask(out, prefix, p):
+    _put_conv(out, prefix + ".0", p["conv1"])
+    _put_conv(out, prefix + ".2", p["conv2"])
+
+
+def eraft_export(p, s, prefix="") -> dict:
+    out = {}
+    out.update(basic_encoder_export(p["fnet"], s["fnet"], prefix + "fnet", "instance"))
+    out.update(basic_encoder_export(p["cnet"], s["cnet"], prefix + "cnet", "batch"))
+    u = prefix + "update_block"
+    _export_named_convs(out, f"{u}.encoder", p["update"]["encoder"],
+                        ("convc1", "convc2", "convf1", "convf2", "conv"))
+    _export_named_convs(out, f"{u}.gru", p["update"]["gru"],
+                        ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"))
+    _export_flow_head(out, f"{u}.flow_head", p["update"]["flow_head"])
+    _export_seq_mask(out, f"{u}.mask", p["update"]["mask"])
+    return out
+
+
+def dceiflow_export(p, s, prefix="") -> dict:
+    out = {}
+    out.update(basic_encoder_export(p["fnet"], s["fnet"], prefix + "fnet", "instance"))
+    out.update(basic_encoder_export(p["enet"], s["enet"], prefix + "enet", "instance"))
+    out.update(basic_encoder_export(p["cnet"], s["cnet"], prefix + "cnet", "batch"))
+    _export_named_convs(out, prefix + "fusion", p["fusion"],
+                        ("conv1", "conv2", "convo"))
+    u = prefix + "update_block"
+    _export_named_convs(out, f"{u}.encoder", p["update"]["encoder"],
+                        ("convc1", "convc2", "conve1", "conve2",
+                         "convf1", "convf2", "conv"))
+    _export_named_convs(out, f"{u}.gru", p["update"]["gru"],
+                        ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"))
+    _export_flow_head(out, f"{u}.flow_head", p["update"]["flow_head"])
+    return out
+
+
+def idnet_export(p, prefix="") -> dict:
+    out = {}
+    _put_conv(out, prefix + "fnet.conv1", p["fnet"]["conv1"])
+    for i in (1, 2):
+        for j, suf in ((0, "a"), (1, "b")):
+            _export_residual_block(out, f"{prefix}fnet.layer{i}.{j}",
+                                   p["fnet"][f"layer{i}{suf}"], {}, "none")
+    u = prefix + "update_net"
+    _export_named_convs(out, f"{u}.gru", p["update"]["gru"],
+                        ("convz", "convr", "convq"))
+    _export_flow_head(out, f"{u}.flow_head", p["update"]["flow_head"])
+    _export_seq_mask(out, f"{u}.mask", p["update"]["mask"])
+    if "flow_head2" in p["update"]:
+        _export_flow_head(out, f"{u}.flow_head2", p["update"]["flow_head2"])
+        _export_seq_mask(out, f"{u}.mask2", p["update"]["mask2"])
+    return out
+
+
+def composite_export(params, model_state, model_mode: str, depth: int = 5) -> dict:
+    """Full CISTA-Flow -> reference-compatible state_dict (cista_net.* +
+    event_flownet.* keys), loadable by the upstream torch code."""
+    out = {f"cista_net.{k}": v
+           for k, v in cista_lstc_export(params["cista"], depth).items()}
+    flow_state = model_state.get("flow", {})
+    if model_mode == "cista-eiflow":
+        out.update(dceiflow_export(params["flow"], flow_state, "event_flownet."))
+    elif model_mode == "cista-eraft":
+        out.update(eraft_export(params["flow"], flow_state, "event_flownet."))
+    elif model_mode == "cista-idnet":
+        out.update(idnet_export(params["flow"], "event_flownet."))
+    return out
+
+
+def save_torch_checkpoint(path: str, params, model_state, model_mode: str,
+                          epoch: int, depth: int = 5):
+    """Write the reference's ``{'epoch', 'state_dict'}`` .pth.tar layout
+    (ref: train.py:137-140)."""
+    import torch
+
+    sd = composite_export(params, model_state, model_mode, depth)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    torch.save({"epoch": epoch, "state_dict": sd}, path)
+
+
 def cista_lstc_export(params: dict, depth: int = 5) -> dict:
     """Export back to the reference key set (incl. duplicated tied ISTA keys)
     so checkpoints stay loadable by the upstream torch code."""

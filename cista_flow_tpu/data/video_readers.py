@@ -132,6 +132,14 @@ class VR:
         if limit_num_events > 0 and mode == "upsampled":
             window, gt_frame = self._accumulate(limit_num_events, 0.8, frame_pack)
             frame_pack.pop(-1)
+            # divergence from the reference: it never sets `ending` on this
+            # branch and hits an unbound variable at stream end
+            # (ref: video_readers.py:167-183); terminate cleanly instead.
+            if gt_frame is None:
+                self.ending = True
+                gt_frame = self.prev_frame
+            if self.frame_id >= self.num_frames:
+                self.ending = True
             self.prev_frame = gt_frame
         elif limit_num_events > 0 and mode == "real":
             window, gt_frame = self._accumulate(limit_num_events, 1.0, None)

@@ -1,0 +1,143 @@
+"""Shared evaluation runner: model build + checkpoint load + jitted step.
+
+Backs the four eval CLIs (test_with_flow / test_wo_flow / test_noeval /
+test_mvsec), mirroring the reference's Reconstructor classes
+(ref: test_with_flow.py:24-88). One compiled step per model_mode; the host
+loop streams numpy frames in and reconstructions out.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ckpt import torch_import as ti
+from .models import composite
+
+
+def model_name_from_cfg(cfgs) -> str:
+    base = "{}_b{}_d{}_c{}".format(cfgs.model_mode, cfgs.num_bins,
+                                   cfgs.depth, cfgs.base_channels)
+    if cfgs.model_name:
+        return f"{cfgs.model_name}_{base}"
+    return base
+
+
+class Reconstructor:
+    """Streaming single-batch reconstructor with a compiled step."""
+
+    def __init__(self, cfgs):
+        self.cfgs = cfgs
+        self.model_mode = cfgs.model_mode
+        h, w = cfgs.image_dim
+        self.image_dim = (h, w)
+
+        # ---- load / init parameters ------------------------------------
+        if cfgs.path_to_test_model:
+            path = cfgs.path_to_test_model
+            if cfgs.load_epoch_for_test:
+                name = path.rstrip("/").split("/")[-1]
+                path = os.path.join(
+                    path, f"{name}_{cfgs.load_epoch_for_test}.pth.tar")
+                self.model_name = f"{name}/{cfgs.load_epoch_for_test}"
+            else:
+                self.model_name = os.path.splitext(os.path.basename(path))[0]
+            sd = ti.load_state_dict(path)
+            self.params, self.model_state = ti.composite_params(
+                sd, self.model_mode)
+        else:
+            self.model_name = model_name_from_cfg(cfgs)
+            self.params, self.model_state = composite.init(
+                jax.random.PRNGKey(cfgs.seed), cfgs)
+
+        # optional CISTA-LSTC override (ref: test_with_flow.py:70-72)
+        if cfgs.path_to_e2v:
+            sd = ti.load_state_dict(cfgs.path_to_e2v)
+            self.params["cista"] = ti.cista_lstc_params(sd)
+
+        n_params = sum(int(np.prod(x.shape))
+                       for x in jax.tree_util.tree_leaves(self.params))
+        print(f"Total parameters: {n_params}")
+        print(f"Estimated model memory size: {n_params * 4 / 1024 / 1024:.2f} MB")
+
+        self.iters = cfgs.default_flow_iters()
+        self._step = self._build_step()
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        cfg = self.cfgs
+        mode = self.model_mode
+
+        def step(params, mstate, state, events, rec_img0, extra, gt_flow,
+                 use_gt_flow):
+            batch = {"event_voxel": events, "rec_img0": rec_img0}
+            batch_gt = {}
+            if use_gt_flow:
+                batch_gt["gt_flow"] = gt_flow
+            kwargs = {}
+            if mode == "cista-eraft":
+                batch["event_voxel_old"] = extra
+            elif mode == "cista-idnet":
+                kwargs["flow_init"] = extra
+            rec, batch_flow, new_state, _ = composite.apply(
+                params, mstate, batch, state, cfg, batch_gt=batch_gt,
+                iters=self.iters, **kwargs)
+            flow_final = batch_flow["flow_final"]
+            next_extra = batch_flow.get("next_flow")
+            return rec, flow_final, new_state, next_extra
+
+        # two variants: with/without GT flow injection (static flag)
+        jit = lambda use_gt: jax.jit(
+            lambda p, ms, st, ev, r0, ex, gf: step(p, ms, st, ev, r0, ex, gf,
+                                                   use_gt))
+        return {True: jit(True), False: jit(False)}
+
+    def reset(self):
+        """New sequence: zero state, zero prev frame, clear chaining."""
+        h, w = self.image_dim
+        self.state = composite.zero_state(1, self.cfgs)
+        self.prev_image = jnp.zeros((1, h, w, 1), jnp.float32)
+        hp = (h + 31) // 32 * 32
+        wp = (w + 31) // 32 * 32
+        if self.model_mode == "cista-eraft":
+            self.extra = jnp.zeros((1, h, w, self.cfgs.num_bins), jnp.float32)
+        elif self.model_mode == "cista-idnet":
+            # next_flow chaining lives at padded resolution (ref: idedeq.py)
+            self.extra = jnp.zeros((1, hp, wp, 2), jnp.float32)
+        else:
+            self.extra = jnp.zeros((1,), jnp.float32)  # unused placeholder
+
+    def step(self, voxel_chw: np.ndarray, gt_flow_chw: np.ndarray | None = None,
+             use_gt_flow: bool = False):
+        """One reconstruction. voxel: (C,H,W) numpy; gt_flow: (2,H,W) or None.
+        Returns (rec (H,W) np.float32, flow_final (2,H,W) np.float32)."""
+        h, w = self.image_dim
+        events = jnp.asarray(voxel_chw.transpose(1, 2, 0))[None]
+        if gt_flow_chw is None:
+            gt_flow = jnp.zeros((1, h, w, 2), jnp.float32)
+        else:
+            gt_flow = jnp.asarray(gt_flow_chw.transpose(1, 2, 0))[None]
+
+        rec, flow_final, self.state, next_extra = self._step[bool(use_gt_flow)](
+            self.params, self.model_state, self.state, events,
+            self.prev_image, self.extra, gt_flow)
+        self.prev_image = rec
+        if self.model_mode == "cista-eraft":
+            self.extra = events
+        elif self.model_mode == "cista-idnet" and next_extra is not None:
+            self.extra = next_extra
+        rec_np = np.asarray(rec)[0, :, :, 0]
+        flow_np = np.asarray(flow_final)[0].transpose(2, 0, 1)
+        return rec_np, flow_np
+
+
+def discover_sequences(path_to_test_data: str) -> list[str]:
+    """Sorted sequence sub-folders (ref: test_with_flow.py:39-43)."""
+    out = [os.path.join(path_to_test_data, d)
+           for d in os.listdir(path_to_test_data)
+           if os.path.isdir(os.path.join(path_to_test_data, d))]
+    return sorted(out)

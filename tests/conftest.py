@@ -28,8 +28,10 @@ REFERENCE_ROOT = "/root/reference"
 def add_reference_to_path():
     """Make the upstream torch reference importable (tests only — the compute
     path never touches it). Shims omegaconf (absent from this image)."""
+    # APPEND (not prepend): the reference also ships top-level modules named
+    # train/test_with_flow/... which must not shadow this repo's CLIs.
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
     if "omegaconf" not in sys.modules:
         import types
 

@@ -1,0 +1,117 @@
+"""End-to-end CLI smoke tests on synthetic data (tiny shapes, CPU) +
+checkpoint round-trips against the upstream torch model."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from conftest import REPO_ROOT, add_reference_to_path
+from cista_flow_tpu.configs import Config
+from cista_flow_tpu.ckpt import torch_import as ti
+from cista_flow_tpu.models import composite
+from test_data_pipeline import H, W, make_sequence_folder, make_train_txt
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_checkpoint_roundtrip_loadable_by_reference(tmp_path):
+    """Our exported .pth.tar must load into the upstream torch model with
+    strict=True, and re-importing must reproduce our params exactly."""
+    add_reference_to_path()
+    import torch
+    from e2v.e2v_model import ERAFTCistaNet
+
+    cfg = Config(image_dim=(H, W), model_mode="cista-eraft")
+    params, mstate = composite.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt.pth.tar")
+    ti.save_torch_checkpoint(path, params, mstate, "cista-eraft", epoch=3,
+                             depth=cfg.depth)
+
+    class RefCfg:
+        image_dim = (H, W)
+        num_bins = 5
+        depth = 5
+        base_channels = 64
+        ds = 8
+        is_bi = False
+        warp_mode = "forward"
+
+    ref = ERAFTCistaNet(RefCfg())
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 3
+    ref.load_state_dict(ckpt["state_dict"], strict=True)
+
+    p2, s2 = ti.composite_params(ti.load_state_dict(path), "cista-eraft")
+
+    def by_path(tree):
+        return {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+    a_map, b_map = by_path(params), by_path(p2)
+    assert set(a_map) == set(b_map)
+    for k in a_map:
+        np.testing.assert_allclose(np.asarray(a_map[k]), np.asarray(b_map[k]),
+                                    err_msg=k)
+
+
+def test_eval_cli_with_flow(tmp_path, capsys):
+    from test_with_flow import evaluate_sequences
+
+    root = tmp_path / "data" / "seq0"
+    make_sequence_folder(str(root), n_frames=8)
+    cfg = Config(image_dim=(H, W), model_mode="cista-eraft",
+                 path_to_test_data=str(tmp_path / "data"),
+                 output_folder=str(tmp_path / "out"),
+                 test_data_mode="upsampled", flow_iters=1,
+                 is_write_flow=True)
+    results = evaluate_sequences(cfg)
+    out = capsys.readouterr().out
+    assert "Average results" in out
+    assert results[-1][0] == "mean"
+    # artifacts written
+    found_pngs = []
+    for r, _, files in os.walk(str(tmp_path / "out")):
+        found_pngs += [f for f in files if f.endswith(".png")]
+    assert any(f.startswith("frame_") for f in found_pngs)
+    assert any(f.startswith("flow_") for f in found_pngs)
+    csvs = [f for r, _, files in os.walk(str(tmp_path / "out"))
+            for f in files if f.endswith(".csv")]
+    assert "result.csv" in csvs and "all.csv" in csvs
+
+
+def test_eval_cli_wo_flow(tmp_path):
+    from test_wo_flow import evaluate_sequences
+
+    root = tmp_path / "data" / "seq0"
+    make_sequence_folder(str(root), n_frames=8, n_events=500)
+    cfg = Config(image_dim=(H, W), model_mode="cista-idnet",
+                 path_to_test_data=str(tmp_path / "data"),
+                 output_folder=str(tmp_path / "out"),
+                 test_data_mode="real", num_events=800,
+                 dataset="ECD", flow_iters=1)
+    results = evaluate_sequences(cfg)
+    assert results[-1][0] == "mean"
+    # FWL present in metrics row (last metric before N_frames)
+    assert len(results[0]) >= 5
+
+
+def test_train_cli_two_epochs(tmp_path):
+    import train as train_cli
+
+    root = str(tmp_path / "train")
+    os.makedirs(root, exist_ok=True)
+    make_train_txt(root, n_videos=2, frames_per_video=4, n_events=200)
+    cfg = Config(image_dim=(H, W), model_mode="cista-eraft",
+                 path_to_train_data=root,
+                 path_to_model=str(tmp_path / "models"),
+                 len_sequence=3, batch_size=2, epochs=2,
+                 flow_epoch=1, rec_epoch=1, flow_iters=1, shuffle=False)
+    trainer = train_cli.Trainer(cfg)
+    trainer.run()
+    # epoch-1 checkpoint written per the reference schedule
+    ckpts = os.listdir(trainer.path_to_model)
+    assert any(c.endswith("_1.pth.tar") for c in ckpts)
+    assert any(c.endswith("_2.pth.tar") for c in ckpts)

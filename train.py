@@ -1,0 +1,184 @@
+"""CISTA-Flow trainer: three-phase alternating schedule, BPTT over sequences.
+
+Equivalent of the reference trainer (ref: train.py:27-269), TPU-native:
+* one compiled train step per phase (lax.scan BPTT over ``len_sequence``)
+* data-parallel batch sharding over a device mesh (``--mesh_shape``),
+  replacing the reference's optional 2-GPU model split
+* phase schedule (ref: train.py:116-129):
+    [0, flow_epoch)                 train flow, freeze rec, GT flow to CISTA
+    [flow_epoch, +rec_epoch)        train rec, freeze flow (pred flow)
+    beyond: lr := 3e-5, alternate every 2 epochs (mod-4)
+* Adam + StepLR(10, 0.9); resume rescales lr by 0.9^floor(epoch/10)
+  (optimizer moments are not checkpointed, like the reference)
+* checkpoints saved in the reference's .pth.tar layout (torch-loadable) at
+  the reference's schedule (ref: train.py:137-140).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+from cista_flow_tpu import configs, parallel
+from cista_flow_tpu.ckpt import torch_import as ti
+from cista_flow_tpu.data import StackedSequenceLoader, TrainSequenceDataset
+from cista_flow_tpu.models import composite
+from cista_flow_tpu.runner import model_name_from_cfg
+
+
+def phase_for_epoch(cfgs, epoch: int):
+    """Returns (fix_net_name, loss_mode, use_gt_flow, lr_override)."""
+    if epoch < cfgs.flow_epoch:
+        return "rec", "flow", True, None
+    if epoch < cfgs.flow_epoch + cfgs.rec_epoch:
+        return "flow", "rec", False, None
+    if (epoch - cfgs.flow_epoch - cfgs.rec_epoch) % 4 >= 2:
+        return "flow", "both", False, 3e-5
+    return "rec", "both", False, 3e-5
+
+
+class Trainer:
+    def __init__(self, cfgs):
+        self.cfgs = cfgs
+        self.model_name = model_name_from_cfg(cfgs)
+        self.path_to_model = os.path.join(cfgs.path_to_model, self.model_name)
+        os.makedirs(self.path_to_model, exist_ok=True)
+
+        # ---- params / checkpoints (ref: train.py:57-79) -----------------
+        if cfgs.load_epoch_for_train:
+            path = os.path.join(
+                self.path_to_model,
+                f"{self.model_name}_{cfgs.load_epoch_for_train}.pth.tar")
+            sd = ti.load_state_dict(path)
+            self.params, self.model_state = ti.composite_params(
+                sd, cfgs.model_mode)
+        elif cfgs.path_to_e2vflow:
+            sd = ti.load_state_dict(cfgs.path_to_e2vflow)
+            self.params, self.model_state = ti.composite_params(
+                sd, cfgs.model_mode)
+            print(f"Load path_to_e2vflow: {cfgs.path_to_e2vflow}")
+        else:
+            self.params, self.model_state = composite.init(
+                jax.random.PRNGKey(cfgs.seed), cfgs)
+            if cfgs.path_to_e2v:
+                self.params["cista"] = ti.cista_lstc_params(
+                    ti.load_state_dict(cfgs.path_to_e2v))
+                print(f"Load path_to_e2v: {cfgs.path_to_e2v}")
+            if cfgs.path_to_flownet:
+                sd = ti.load_state_dict(cfgs.path_to_flownet)
+                if cfgs.model_mode == "cista-eiflow":
+                    self.params["flow"], self.model_state["flow"] = \
+                        ti.dceiflow_params(sd)
+                elif cfgs.model_mode == "cista-eraft":
+                    self.params["flow"], self.model_state["flow"] = \
+                        ti.eraft_params(sd)
+                elif cfgs.model_mode == "cista-idnet":
+                    self.params["flow"] = ti.idnet_params(sd)
+                print(f"Load path_to_flownet: {cfgs.path_to_flownet}")
+
+        # ---- data --------------------------------------------------------
+        ds = TrainSequenceDataset(
+            os.path.join(cfgs.path_to_train_data, "train_e2v_estflow.txt"),
+            cfgs)
+        self.loader = StackedSequenceLoader(
+            ds, batch_size=cfgs.batch_size, len_sequence=max(cfgs.len_sequence, 1),
+            shuffle=cfgs.shuffle, seed=cfgs.seed)
+
+        # ---- mesh / optimizer --------------------------------------------
+        self.mesh = parallel.mesh_from_config(cfgs) \
+            if cfgs.mesh_shape != "1" else None
+        lr = cfgs.lr * (0.9 ** np.floor(cfgs.load_epoch_for_train / 10.0))
+        self.base_lr = cfgs.lr
+        self.opt = parallel.make_optimizer(float(lr))
+        self.opt_state = self.opt.init(self.params)
+        if self.mesh is not None:
+            self.params = parallel.replicate_tree(self.params, self.mesh)
+            self.model_state = parallel.replicate_tree(self.model_state, self.mesh)
+            self.opt_state = parallel.replicate_tree(self.opt_state, self.mesh)
+
+        # optional LPIPS (vgg) for the training perceptual term
+        self.lpips_params = None
+        lpips_path = os.environ.get("CISTA_LPIPS_VGG")
+        if lpips_path and os.path.exists(lpips_path):
+            from cista_flow_tpu.losses import lpips as lpips_mod
+            self.lpips_params = lpips_mod.load_torch_weights(
+                lpips_full_path=lpips_path)
+            print(f"Loaded LPIPS(vgg) weights from {lpips_path}")
+        else:
+            print("LPIPS weights not provided (set CISTA_LPIPS_VGG); "
+                  "training without the perceptual term.")
+
+        self._steps = {}
+        self.writer = None
+        if cfgs.is_SummaryWriter:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.writer = SummaryWriter(f"./summary/{self.model_name}")
+            except ImportError:
+                print("tensorboard unavailable; scalar logging disabled")
+
+    def _get_step(self, fix_net_name, loss_mode, use_gt_flow):
+        key = (fix_net_name, loss_mode, use_gt_flow)
+        if key not in self._steps:
+            self._steps[key] = parallel.make_train_step(
+                self.cfgs, self.opt, loss_mode, fix_net_name, use_gt_flow,
+                lpips_params=self.lpips_params, mesh=self.mesh, donate=False)
+        return self._steps[key]
+
+    def run(self):
+        cfgs = self.cfgs
+        global_step = 0
+        for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
+            fix, loss_mode, use_gt_flow, lr_override = phase_for_epoch(cfgs, epoch)
+            lr = lr_override if lr_override is not None else \
+                parallel.step_lr(self.base_lr, epoch)
+            self.opt_state = parallel.set_lr(self.opt_state, lr)
+            print(f"lr: {lr}")
+            print(f"train_rec: {fix == 'flow'}")
+
+            step = self._get_step(fix, loss_mode, use_gt_flow)
+            n = len(self.loader)
+            for batch_idx, seq in enumerate(self.loader):
+                if self.mesh is not None:
+                    seq = parallel.shard_seq_batch(seq, self.mesh)
+                else:
+                    seq = {k: jax.numpy.asarray(v) for k, v in seq.items()}
+                self.params, self.model_state, self.opt_state, loss = step(
+                    self.params, self.model_state, self.opt_state, seq)
+                if self.writer is not None:
+                    self.writer.add_scalar("loss", float(loss), global_step)
+                global_step += 1
+                if batch_idx % 50 == 0:
+                    print(f"Train Epoch: {epoch + 1} "
+                          f"[{batch_idx * cfgs.batch_size}/"
+                          f"{n * cfgs.batch_size} "
+                          f"({100.0 * batch_idx / max(n, 1):.0f}%)]\t"
+                          f"loss: {float(loss):.6f}")
+
+            # save schedule (ref: train.py:137-140)
+            boundary = cfgs.flow_epoch + cfgs.rec_epoch
+            if (epoch == 0 or (epoch + 1) == boundary
+                    or ((epoch + 1) >= boundary and (epoch + 1 - boundary) % 2 == 0)
+                    or (epoch + 1) % 10 == 0):
+                path = os.path.join(
+                    self.path_to_model,
+                    f"{self.model_name}_{epoch + 1}.pth.tar")
+                ti.save_torch_checkpoint(
+                    path, jax.device_get(self.params),
+                    jax.device_get(self.model_state),
+                    cfgs.model_mode, epoch, depth=cfgs.depth)
+                print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Training options")
+    configs.add_args(parser)
+    cfgs = configs.from_args(parser.parse_args())
+    cfgs.shuffle = True
+    Trainer(cfgs).run()
