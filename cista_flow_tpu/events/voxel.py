@@ -9,6 +9,11 @@ from __future__ import annotations
 import numpy as np
 
 
+import os
+
+_USE_NATIVE = os.environ.get("CISTA_NO_NATIVE", "0") != "1"
+
+
 def events_to_voxel_grid(
     events: np.ndarray,
     num_bins: int,
@@ -21,7 +26,30 @@ def events_to_voxel_grid(
     Bilinear split of each event between temporal bins floor(t)/floor(t)+1;
     polarity mapped to +/-1 (zeros become -1). ``is_reverse`` flips event
     order AND polarity (used for the reversed voxel in bilateral training).
+
+    Dispatches to the native C++ kernel when available (bit-identical,
+    ~20-50x faster than np.add.at); set CISTA_NO_NATIVE=1 to force numpy.
     """
+    if _USE_NATIVE and len(events):
+        from . import native
+
+        out = native.voxelize_events(events, num_bins, width, height,
+                                     is_reverse)
+        if out is not None:
+            return out
+    return events_to_voxel_grid_numpy(events, num_bins, width, height,
+                                      is_reverse)
+
+
+def events_to_voxel_grid_numpy(
+    events: np.ndarray,
+    num_bins: int,
+    width: int,
+    height: int,
+    is_reverse: bool = False,
+) -> np.ndarray:
+    """Pure-numpy golden implementation (the native kernel is tested
+    bit-exact against this)."""
     assert events.ndim == 2 and events.shape[1] == 4
     voxel = np.zeros((num_bins, height, width), np.float32).ravel()
 
@@ -109,7 +137,22 @@ def events_to_voxel_grid_pol(
 def event_preprocess(
     voxel: np.ndarray, mode: str = "std", filter_hot_pixel: bool = False
 ) -> np.ndarray:
-    """Nonzero-masked normalization (ref: utils/event_process.py:193-216)."""
+    """Nonzero-masked normalization (ref: utils/event_process.py:193-216).
+
+    Dispatches to the native kernel for mode='std' when available."""
+    if _USE_NATIVE and mode == "std":
+        from . import native
+
+        v = np.ascontiguousarray(voxel, dtype=np.float32)
+        if native.preprocess_std(v, filter_hot_pixel):
+            return v
+    return event_preprocess_numpy(voxel, mode, filter_hot_pixel)
+
+
+def event_preprocess_numpy(
+    voxel: np.ndarray, mode: str = "std", filter_hot_pixel: bool = False
+) -> np.ndarray:
+    """Pure-numpy golden implementation."""
     num_bins = voxel.shape[0]
     if filter_hot_pixel:
         voxel[np.abs(voxel) > 25.0 / num_bins] = 0
