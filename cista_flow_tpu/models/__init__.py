@@ -1,1 +1,1 @@
-from . import cista_lstc, composite, dceiflow, eraft, idnet
+from . import cista_lstc, composite, dceiflow, eraft, idnet, raft

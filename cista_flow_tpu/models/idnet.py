@@ -96,3 +96,24 @@ def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
         "next_flow": next_flow,
         "flow_preds": flow_preds,
     }
+
+
+def rec_ide(params, batch, cfg, flow_init=None, deblur_iters: int = 1,
+            pred_next_flow: bool = True, yield_every: int = 4):
+    """Sequence generator variant (RecIDE, ref: idn/idedeq.py:275-306):
+    chains ``next_flow`` across a sequence of voxels, yielding accumulated
+    trajectories every ``yield_every`` steps (flow_init detached at yields)."""
+    flow_traj, next_traj = [], []
+    for t_idx, x in enumerate(batch):
+        out = apply(params, x, cfg, flow_init=flow_init,
+                    deblur_iters=deblur_iters,
+                    pred_next_flow=pred_next_flow)
+        flow_traj.append(out["flow_final"])
+        flow_init = out["next_flow"]
+        next_traj.append(flow_init)
+        if (t_idx + 1) % yield_every == 0:
+            flow_init = jax.lax.stop_gradient(flow_init)
+            yield {"flow_final": out["flow_final"],
+                   "flow_preds": flow_traj,
+                   "flow_next_trajectory": next_traj}
+            flow_traj, next_traj = [], []

@@ -102,6 +102,76 @@ def basic_encoder(p, st, x, norm_fn, ds=8, train=False):
     return y, new_st
 
 
+# ------------------------- BottleneckBlock / SmallEncoder -------------------
+
+def bottleneck_block_init(key, cin, cout, norm_fn, stride=1):
+    """1x1 -> 3x3 -> 1x1 bottleneck (ref: raft_encoder.py:62-122)."""
+    ks = jax.random.split(key, 4)
+    p, s = {}, {}
+    p["conv1"] = C.conv_params(ks[0], 1, 1, cin, cout // 4, init=KAIMING)
+    p["conv2"] = C.conv_params(ks[1], 3, 3, cout // 4, cout // 4, init=KAIMING)
+    p["conv3"] = C.conv_params(ks[2], 1, 1, cout // 4, cout, init=KAIMING)
+    p["norm1"], s["norm1"] = _norm_init(norm_fn, cout // 4)
+    p["norm2"], s["norm2"] = _norm_init(norm_fn, cout // 4)
+    p["norm3"], s["norm3"] = _norm_init(norm_fn, cout)
+    if stride != 1:
+        p["down"] = C.conv_params(ks[3], 1, 1, cin, cout, init=KAIMING)
+        p["norm4"], s["norm4"] = _norm_init(norm_fn, cout)
+    return p, s
+
+
+def bottleneck_block(p, st, x, norm_fn, stride=1, train=False):
+    ng = max(p["conv3"]["w"].shape[-1] // 8, 1)
+    y = C.apply_conv(p["conv1"], x)
+    y, n1 = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}), y, train, ng)
+    y = jax.nn.relu(y)
+    y = C.apply_conv(p["conv2"], y, stride=stride, padding=1)
+    y, n2 = _norm_apply(norm_fn, p["norm2"], st.get("norm2", {}), y, train, ng)
+    y = jax.nn.relu(y)
+    y = C.apply_conv(p["conv3"], y)
+    y, n3 = _norm_apply(norm_fn, p["norm3"], st.get("norm3", {}), y, train, ng)
+    y = jax.nn.relu(y)
+    new_st = {"norm1": n1, "norm2": n2, "norm3": n3}
+    if "down" in p:
+        x = C.apply_conv(p["down"], x, stride=stride)
+        x, n4 = _norm_apply(norm_fn, p["norm4"], st.get("norm4", {}), x, train, ng)
+        new_st["norm4"] = n4
+    return jax.nn.relu(x + y), new_st
+
+
+def small_encoder_init(key, input_dim, output_dim, norm_fn):
+    """RAFT SmallEncoder: 32/64/96 bottleneck stages
+    (ref: raft_encoder.py:206-255)."""
+    ks = jax.random.split(key, 8)
+    p, s = {}, {}
+    p["conv1"] = C.conv_params(ks[0], 7, 7, input_dim, 32, init=KAIMING)
+    p["norm1"], s["norm1"] = _norm_init(norm_fn, 32)
+    dims = [(32, 32, 1), (32, 64, 2), (64, 96, 2)]
+    for i, (cin, cout, stride) in enumerate(dims, start=1):
+        p[f"layer{i}a"], s[f"layer{i}a"] = bottleneck_block_init(
+            ks[2 * i - 1], cin, cout, norm_fn, stride)
+        p[f"layer{i}b"], s[f"layer{i}b"] = bottleneck_block_init(
+            ks[2 * i], cout, cout, norm_fn, 1)
+    p["conv2"] = C.conv_params(ks[7], 1, 1, 96, output_dim, init=KAIMING)
+    return p, s
+
+
+def small_encoder(p, st, x, norm_fn, train=False):
+    new_st = {}
+    y = C.apply_conv(p["conv1"], x, stride=2, padding=3)
+    y, new_st["norm1"] = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}),
+                                     y, train)
+    y = jax.nn.relu(y)
+    strides = {1: 1, 2: 2, 3: 2}
+    for i in (1, 2, 3):
+        y, new_st[f"layer{i}a"] = bottleneck_block(
+            p[f"layer{i}a"], st.get(f"layer{i}a", {}), y, norm_fn,
+            strides[i], train)
+        y, new_st[f"layer{i}b"] = bottleneck_block(
+            p[f"layer{i}b"], st.get(f"layer{i}b", {}), y, norm_fn, 1, train)
+    return C.apply_conv(p["conv2"], y), new_st
+
+
 # ------------------------- LiteEncoder (IDNet) ------------------------------
 
 def lite_encoder_init(key, n_first_channels, output_dim, stride=2):

@@ -176,6 +176,49 @@ def basic_update_block(p, net, inp, corr, flow):
     return net, mask, delta_flow
 
 
+# ------------------------- Small update blocks ------------------------------
+
+def small_motion_encoder_init(key, cor_planes):
+    """Event-conditioned small motion encoder
+    (ref: with_event_updater.py:70-87)."""
+    ks = jax.random.split(key, 5)
+    return {
+        "convc1": C.conv_params(ks[0], 1, 1, cor_planes, 96),
+        "conve1": C.conv_params(ks[1], 1, 1, 128, 64),
+        "convf1": C.conv_params(ks[2], 7, 7, 2, 64),
+        "convf2": C.conv_params(ks[3], 3, 3, 64, 32),
+        "conv": C.conv_params(ks[4], 3, 3, 96 + 32 + 64, 80),
+    }
+
+
+def small_motion_encoder(p, flow, emap, corr):
+    cor = jax.nn.relu(C.apply_conv(p["convc1"], corr))
+    ema = jax.nn.relu(C.apply_conv(p["conve1"], emap))
+    flo = jax.nn.relu(C.apply_conv(p["convf1"], flow, padding=3))
+    flo = jax.nn.relu(C.apply_conv(p["convf2"], flo, padding=1))
+    out = jax.nn.relu(C.apply_conv(
+        p["conv"], jnp.concatenate([cor, ema, flo], axis=-1), padding=1))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def small_update_block_init(key, cor_planes, hidden_dim=96):
+    """SmallUpdateBlock (ref: with_event_updater.py:115-128)."""
+    ks = jax.random.split(key, 3)
+    return {
+        "encoder": small_motion_encoder_init(ks[0], cor_planes),
+        "gru": conv_gru_init(ks[1], hidden_dim, 82 + 64),
+        "flow_head": flow_head_init(ks[2], hidden_dim, 128),
+    }
+
+
+def small_update_block(p, net, inp, corr, emap, flow):
+    corr = corr.astype(net.dtype)
+    flow = flow.astype(net.dtype)
+    motion = small_motion_encoder(p["encoder"], flow, emap, corr)
+    net = conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
+    return net, None, flow_head(p["flow_head"], net)
+
+
 # ------------------------- IDNet LiteUpdateBlock ----------------------------
 
 def lite_update_block_init(key, hidden_dim, input_dim, num_outputs=2, downsample=8):

@@ -124,3 +124,97 @@ def ista_iteration(p, x1, z):
     tmp = conv_layer(p["D"], z, padding=1)
     x = conv_layer(p["P"], x1 - tmp, padding=1)
     return softshrink(x + z, p["Lambda"])
+
+
+# -------------------------- Variant layers ----------------------------------
+# Defined-but-unused in the reference's shipped models; provided for
+# capability parity (ref: e2v/base_layers.py:14-15, 230-358).
+
+def doubletanh(x, u, lambd):
+    """Alternative proximal op (ref: e2v/base_layers.py:14-15)."""
+    return u * (jnp.tanh(x + lambd) + jnp.tanh(x - lambd))
+
+
+def recurrent_conv_layer_init(key, cin, cout, k=3):
+    """ConvLayer -> ConvLSTM (ref: e2v/base_layers.py:216-227)."""
+    k1, k2 = jax.random.split(key)
+    return {"conv": conv_layer_init(k1, cin, cout, k),
+            "lstm": conv_lstm_init(k2, cout, cout)}
+
+
+def recurrent_conv_layer(p, x, state, stride=1, padding=1, activation=None):
+    y = conv_layer(p["conv"], x, stride=stride, padding=padding,
+                   activation=activation)
+    hidden, cell = conv_lstm(p["lstm"], y, state)
+    return hidden, (hidden, cell)
+
+
+def recurrent_upsample_conv_layer_init(key, cin, cout, k=3):
+    """UpsampleConvLayer -> ConvLSTM (ref: e2v/base_layers.py:230-240)."""
+    k1, k2 = jax.random.split(key)
+    return {"conv": conv_layer_init(k1, cin, cout, k),
+            "lstm": conv_lstm_init(k2, cout, cout)}
+
+
+def recurrent_upsample_conv_layer(p, x, state, out_hw=None, activation=None):
+    y = upsample_conv_layer(p["conv"], x, out_hw=out_hw, activation=activation)
+    hidden, cell = conv_lstm(p["lstm"], y, state)
+    return hidden, (hidden, cell)
+
+
+def decay_gates_init(key, channels1, channels2, num_gates=3, reduction=4):
+    """'get_decay_simmp' mixed max/avg-pool gating MLP
+    (ref: e2v/base_layers.py:243-281, 'mix' configuration)."""
+    import math as _math
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def linear(k, cin, cout):
+        bound = 1.0 / _math.sqrt(cin)
+        kw, kb = jax.random.split(k)
+        return {"w": jax.random.uniform(kw, (cin, cout), jnp.float32, -bound, bound),
+                "b": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound)}
+
+    return {
+        "fc1": linear(k1, channels1, channels1 // reduction),
+        "fc2": linear(k2, channels2 // reduction, num_gates),
+        "fc3": linear(k3, channels1 + channels2, channels2 // reduction),
+    }
+
+
+def decay_gates(p, x, x1=None):
+    """x: (B,H,W,C1); x1: optional (B,H,W,C2). Returns (B, num_gates)."""
+    def lin(q, v):
+        return v @ q["w"] + q["b"]
+
+    if x1 is None:
+        theta = jnp.max(x, axis=(1, 2))
+        theta = jax.nn.relu(lin(p["fc1"], theta))
+        return lin(p["fc2"], theta)
+    t1 = jnp.max(x1, axis=(1, 2))       # local motion (max-pool)
+    t2 = jnp.mean(x, axis=(1, 2))       # global firing rate (avg-pool)
+    theta = jnp.concatenate([t1, t2], axis=-1)
+    theta = jax.nn.relu(lin(p["fc3"], theta))
+    return lin(p["fc2"], theta)
+
+
+def neuron_lstc_init(key, x_size, output_size, k=3):
+    """NeuronLSTC variant (ref: e2v/base_layers.py:283-321): gates produced
+    by global pooled statistics instead of convs."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "P0": conv_layer_init(k1, x_size, output_size, k),
+        "conv1x1": conv_layer_init(k2, x_size, 3 * output_size, 1),
+        "gates": decay_gates_init(k3, x_size, 3 * output_size, 3),
+    }
+
+
+def neuron_lstc(p, x, prev_z0):
+    x1 = conv_layer(p["conv1x1"], x, padding=0)
+    g = decay_gates(p["gates"], x, x1)  # (B, 3)
+    in_g, forget_g, out_g = [jax.nn.sigmoid(g[:, i])[:, None, None, None]
+                             for i in range(3)]
+    pad = p["P0"]["w"].shape[0] // 2
+    z0 = conv_layer(p["P0"], x, padding=pad)
+    z0 = forget_g * prev_z0 + in_g * z0
+    return out_g * jnp.tanh(z0)

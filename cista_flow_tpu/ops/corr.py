@@ -71,6 +71,57 @@ def lookup_corr(pyr: CorrPyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.n
     return jnp.concatenate(out, axis=-1)
 
 
+class EfficientCorr(NamedTuple):
+    """On-the-fly correlation: no materialized (H1*W1)x(H2*W2) volume.
+
+    Re-design of the reference's EfficientCorrBlock
+    (ref: DCEIFlow/core/corr/raft_corr.py:121-172): keeps the feature-map
+    pyramid instead of the volume pyramid — O(B*H*W*D*levels) memory instead
+    of O(B*(H*W)^2). Preferable for large resolutions / batched training.
+    """
+    fmap1: jnp.ndarray          # (B, H, W, D)
+    fmap2_levels: tuple         # each (B, h_l, w_l, D)
+
+
+def build_efficient_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                         num_levels: int = 4) -> EfficientCorr:
+    from .pool import avg_pool2 as _pool
+
+    levels = [fmap2.astype(jnp.float32)]
+    for _ in range(num_levels - 1):
+        levels.append(_pool(levels[-1]))
+    return EfficientCorr(fmap1.astype(jnp.float32), tuple(levels))
+
+
+def lookup_efficient_corr(ec: EfficientCorr, coords: jnp.ndarray,
+                          radius: int = 4) -> jnp.ndarray:
+    """Sample fmap2 windows and contract with fmap1 on the fly.
+
+    Matches ``lookup_corr`` over a materialized volume exactly (same window
+    order, same normalization); the inner product runs on the MXU per level.
+    """
+    from .warp import bilinear_sampler
+
+    r = radius
+    B, H1, W1, D = ec.fmap1.shape
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dxx, dyy = jnp.meshgrid(d, d, indexing="ij")
+    delta = jnp.stack([dxx, dyy], axis=-1).reshape(-1, 2)  # ((2r+1)^2, 2)
+    k = delta.shape[0]
+
+    out = []
+    for i, level in enumerate(ec.fmap2_levels):
+        c = coords[:, :, :, None, :] / (2.0 ** i) + delta[None, None, None]
+        # sample D-dim vectors at (B, H1, W1*k) positions
+        sampled = bilinear_sampler(
+            level, c.reshape(B, H1, W1 * k, 2))  # (B, H1, W1*k, D)
+        sampled = sampled.reshape(B, H1, W1, k, D)
+        corr = jnp.einsum("bhwd,bhwkd->bhwk", ec.fmap1, sampled,
+                          preferred_element_type=jnp.float32)
+        out.append(corr / jnp.sqrt(jnp.float32(D)))
+    return jnp.concatenate(out, axis=-1)
+
+
 def coords_grid(batch: int, h: int, w: int) -> jnp.ndarray:
     """(B, H, W, 2) grid of (x, y) pixel coords
     (ref: DCEIFlow/utils/sample_utils.py:55-58)."""

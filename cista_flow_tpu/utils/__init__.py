@@ -1,1 +1,6 @@
-from .image import normalize_image, optimal_crop_size
+from .image import (
+    CropParameters,
+    forward_interpolate,
+    normalize_image,
+    optimal_crop_size,
+)
