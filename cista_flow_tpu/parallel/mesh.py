@@ -41,9 +41,14 @@ def batch_sharding(mesh: Mesh, batch_axis_index: int = 1,
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_seq_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put a dict of (T, B, ...) host arrays with B sharded."""
-    sh = batch_sharding(mesh, 1, axis)
+def shard_seq_batch(batch: dict, mesh: Mesh, axis: str = "data",
+                    spatial_axis: str | None = None) -> dict:
+    """Device-put a dict of (T, B, H, W, C) host arrays with B sharded over
+    ``axis`` (and H over ``spatial_axis`` if given)."""
+    if spatial_axis is not None:
+        sh = NamedSharding(mesh, P(None, axis, spatial_axis))
+    else:
+        sh = batch_sharding(mesh, 1, axis)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

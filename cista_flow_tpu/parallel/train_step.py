@@ -56,7 +56,7 @@ def _select_frozen(frozen_key: str, new_tree, old_tree):
 
 def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
                     use_gt_flow: bool, lpips_params=None, mesh=None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, spatial_axis: str | None = None) -> Callable:
     """Build the jitted train step for one phase.
 
     seq batch: dict of (T, B, ...) NHWC arrays with keys
@@ -64,8 +64,25 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
       [+ event_voxel_old (eraft) | event_voxel_bw (eiflow bi)].
     Returns step(params, model_state, opt_state, seq) ->
       (params, model_state, opt_state, loss).
+
+    ``spatial_axis``: optional second mesh axis name for activation
+    (spatial/tensor) parallelism — the per-step NHWC activations are
+    constrained to shard H over this axis; XLA GSPMD inserts the halo
+    exchanges for the convolutions. This is the conv-net analogue of TP and
+    the idiomatic upgrade of the reference's 2-GPU model split
+    (ref: e2v/e2v_model.py:312-346).
     """
+    from jax.sharding import PartitionSpec as P
+
     frozen_key = {"rec": "cista", "flow": "flow"}.get(fix_net_name)
+
+    def constrain(step_data):
+        if mesh is None or spatial_axis is None:
+            return step_data
+        spec = P("data", spatial_axis, None, None)  # (B, H, W, C)
+        return {k: jax.lax.with_sharding_constraint(
+            v, jax.sharding.NamedSharding(mesh, spec))
+            for k, v in step_data.items()}
 
     def loss_fn(params, model_state, seq):
         t_len, batch = seq["event_voxel"].shape[:2]
@@ -78,6 +95,7 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
         def body(carry, xs):
             state, rec_prev, mstate = carry
             step_data, is_consis = xs
+            step_data = constrain(step_data)
             batch_data = {"event_voxel": step_data["event_voxel"],
                           "rec_img0": rec_prev}
             for k in ("event_voxel_old", "event_voxel_bw"):
@@ -121,7 +139,10 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
         return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
+    if spatial_axis is not None:
+        bsh = jax.sharding.NamedSharding(mesh, P(None, "data", spatial_axis))
+    else:
+        bsh = batch_sharding(mesh)
     return jax.jit(
         step,
         in_shardings=(rep, rep, rep, bsh),

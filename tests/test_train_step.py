@@ -117,3 +117,32 @@ def test_dp_matches_single_device(cfg):
     a = np.asarray(p1["cista"]["final"]["w"])
     b = np.asarray(pN["cista"]["final"]["w"])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_train_step_dp_plus_spatial_mesh(cfg):
+    """2D mesh: batch on 'data', activation H on 'spatial' (GSPMD halo
+    exchanges for the convolutions)."""
+    rng = np.random.default_rng(4)
+    mesh = parallel.make_mesh((2, 4), ("data", "spatial"))
+    params, mstate = composite.init(jax.random.PRNGKey(4), cfg)
+    params = parallel.replicate_tree(params, mesh)
+    mstate = parallel.replicate_tree(mstate, mesh)
+    opt = parallel.make_optimizer(1e-4)
+    opt_state = parallel.replicate_tree(opt.init(params), mesh)
+
+    seq = make_seq(rng, 2, 2, 32, 48, 5, with_old=True)
+    step = parallel.make_train_step(cfg, opt, loss_mode="rec",
+                                    fix_net_name=None, use_gt_flow=False,
+                                    mesh=mesh, donate=False,
+                                    spatial_axis="spatial")
+    new_params, _, _, loss = step(params, mstate, opt_state, seq)
+    assert np.isfinite(float(loss))
+
+    # must equal the unsharded computation
+    step1 = parallel.make_train_step(cfg, opt, "rec", None, False, donate=False)
+    p1, _, _, loss1 = step1(*[jax.device_get(x) for x in
+                              (params, mstate, opt_state)], seq)
+    np.testing.assert_allclose(float(loss), float(loss1), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_params["cista"]["final"]["w"]),
+        np.asarray(p1["cista"]["final"]["w"]), rtol=1e-4, atol=1e-6)
