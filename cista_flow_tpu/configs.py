@@ -86,6 +86,7 @@ class Config:
     mesh_axes: str = "data"          # comma axis names matching mesh_shape
     flow_iters: int | None = None    # override flow GRU iterations
     seed: int = 1234
+    orbax_ckpt: bool = False         # also write native orbax checkpoints
 
     # derived / fixed (ref: e2v/e2v_model.py:111)
     scale_factor: float = 0.5
@@ -179,6 +180,7 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--mesh_axes", default="data", type=str)
     parser.add_argument("--flow_iters", default=None, type=int)
     parser.add_argument("--seed", default=1234, type=int)
+    parser.add_argument("--orbax_ckpt", action="store_true")
 
 
 def from_args(args: argparse.Namespace) -> Config:

@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 from cista_flow_tpu import configs, parallel
-from cista_flow_tpu.ckpt import torch_import as ti
+from cista_flow_tpu.ckpt import orbax_io, torch_import as ti
+from cista_flow_tpu.utils.profiling import StepTimer
 from cista_flow_tpu.data import StackedSequenceLoader, TrainSequenceDataset
 from cista_flow_tpu.models import composite
 from cista_flow_tpu.runner import model_name_from_cfg
@@ -144,13 +145,16 @@ class Trainer:
 
             step = self._get_step(fix, loss_mode, use_gt_flow)
             n = len(self.loader)
+            timer = StepTimer(f"epoch{epoch + 1}", warmup=1)
             for batch_idx, seq in enumerate(self.loader):
                 if self.mesh is not None:
                     seq = parallel.shard_seq_batch(seq, self.mesh)
                 else:
                     seq = {k: jax.numpy.asarray(v) for k, v in seq.items()}
+                timer.start()
                 self.params, self.model_state, self.opt_state, loss = step(
                     self.params, self.model_state, self.opt_state, seq)
+                timer.stop(loss)
                 if self.writer is not None:
                     self.writer.add_scalar("loss", float(loss), global_step)
                 global_step += 1
@@ -174,6 +178,11 @@ class Trainer:
                     jax.device_get(self.model_state),
                     cfgs.model_mode, epoch, depth=cfgs.depth)
                 print(f"saved {path}")
+                if cfgs.orbax_ckpt:
+                    orbax_io.save_checkpoint(
+                        os.path.join(self.path_to_model, "orbax"), epoch + 1,
+                        self.params, self.model_state, self.opt_state)
+            print(timer)
 
 
 if __name__ == "__main__":
