@@ -73,7 +73,8 @@ def _warp_inputs(rec_img0, state, flow_final, cfg):
 
 
 def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
-          fix_net_name=None, train=False, iters=None, flow_init=None):
+          fix_net_name=None, train=False, iters=None, flow_init=None,
+          collect_preds=True):
     """One reconstruction step.
 
     batch_data: dict with NHWC arrays — event_voxel (B,H,W,bins),
@@ -102,12 +103,14 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
             image2=batch_gt.get("gt_img1"),
             reversed_event_voxel=batch_data.get("event_voxel_bw"),
             iters=iters, flow_init=batch_data.get("flow_init"),
-            train=train and fix_net_name != "rec")
+            train=train and fix_net_name != "rec",
+            collect_preds=collect_preds)
     elif cfg.model_mode == "cista-eraft":
         batch_flow, new_model_state["flow"] = eraft.apply(
             flow_params, model_state["flow"],
             batch_data["event_voxel_old"], events, cfg, iters=iters,
-            train=train and fix_net_name != "rec")
+            train=train and fix_net_name != "rec",
+            collect_preds=collect_preds)
     elif cfg.model_mode == "cista-idnet":
         batch_flow = idnet.apply(flow_params, events, cfg,
                                  flow_init=flow_init, deblur_iters=iters)

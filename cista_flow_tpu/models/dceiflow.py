@@ -56,7 +56,12 @@ def _fusion(p, x1, x2):
     return out + x1
 
 
-def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters):
+def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
+             collect_preds=True):
+    """collect_preds: emit the full-res upsampled flow at EVERY iteration
+    (training loss needs the sequence — ref: DCEIFlow.py:209-227). Inference
+    only consumes the final flow, so the per-iteration x8 upsample + stacking
+    (the dominant cost of the scan body on TPU) is skipped when False."""
     def step(carry, _):
         net, coords1 = carry
         coords1 = jax.lax.stop_gradient(coords1)
@@ -65,16 +70,18 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters):
         net, _, delta = G.basic_update_block_event(
             params["update"], net, inp, c, emap, flow)
         coords1 = coords1 + delta
-        flow_up = upflow(coords1 - coords0, ds)
-        return (net, coords1), flow_up
+        out = upflow(coords1 - coords0, ds) if collect_preds else ()
+        return (net, coords1), out
 
     (net, coords1), flow_preds = jax.lax.scan(
         step, (net, coords1), None, length=iters)
+    if not collect_preds:
+        flow_preds = upflow(coords1 - coords0, ds)[None]
     return net, coords1, flow_preds
 
 
 def _single_direction(params, state, emap, fmap1, image1_pad, cfg, iters,
-                      flow_init, train):
+                      flow_init, train, collect_preds=True):
     pseudo_fmap2 = _fusion(params["fusion"], fmap1, emap)
     pyr = CORR.build_corr_pyramid(fmap1, pseudo_fmap2, CORR_LEVELS)
 
@@ -90,13 +97,14 @@ def _single_direction(params, state, emap, fmap1, image1_pad, cfg, iters,
 
     padder = ImagePadder(cfg.image_dim, min_size=32)
     net, coords1, flow_preds = _iterate(
-        params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters)
+        params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
+        collect_preds=collect_preds)
     return coords1 - coords0, flow_preds, pseudo_fmap2, cstate
 
 
 def apply(params, state, event_voxel, image1, cfg, image2=None,
           reversed_event_voxel=None, iters: int = 6, flow_init=None,
-          train: bool = False):
+          train: bool = False, collect_preds: bool = True):
     """event_voxel: (B,H,W,bins); image1: (B,H,W,1) in [0,1].
 
     Returns (out_dict, new_state). Dict keys mirror the reference
@@ -123,7 +131,8 @@ def apply(params, state, event_voxel, image1, cfg, image2=None,
         fmap2 = None
 
     flow_lowres, flow_preds, pseudo_fmap2, cstate = _single_direction(
-        params, state, emap, fmap1, im1, cfg, iters, flow_init, train)
+        params, state, emap, fmap1, im1, cfg, iters, flow_init, train,
+        collect_preds=collect_preds)
     flow_final = padder.unpad(flow_preds[-1])
 
     out = {

@@ -37,7 +37,7 @@ def init(key, cfg):
 
 
 def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
-          flow_init=None, train: bool = False):
+          flow_init=None, train: bool = False, collect_preds: bool = True):
     """voxel_old/new: (B, H, W, num_bins). Returns (out_dict, new_state)."""
     padder = ImagePadder(cfg.image_dim, min_size=32)
     im1 = padder.pad(voxel_old)
@@ -61,18 +61,24 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
     coords0 = CORR.coords_grid(B, h8, w8)
     coords1 = coords0 if flow_init is None else coords0 + flow_init
 
+    # collect_preds=False skips the per-iteration convex upsample + stacking
+    # (training-only outputs); the final flow is upsampled once after scan.
+    mask0 = jnp.zeros((B, h8, w8, 64 * 9), im1.dtype)
+
     def step(carry, _):
-        net, coords1 = carry
+        net, coords1, _ = carry
         coords1 = jax.lax.stop_gradient(coords1)
         c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
         flow = coords1 - coords0
         net, mask, delta = G.basic_update_block(params["update"], net, inp, c, flow)
         coords1 = coords1 + delta
-        flow_up = convex_upsample(coords1 - coords0, mask, factor=8)
-        return (net, coords1), flow_up
+        out = convex_upsample(coords1 - coords0, mask, factor=8)             if collect_preds else ()
+        return (net, coords1, mask), out
 
-    (net, coords1), flow_preds = jax.lax.scan(
-        step, (net, coords1), None, length=iters)
+    (net, coords1, mask), flow_preds = jax.lax.scan(
+        step, (net, coords1, mask0), None, length=iters)
+    if not collect_preds:
+        flow_preds = convex_upsample(coords1 - coords0, mask, factor=8)[None]
 
     flow_final = padder.unpad(flow_preds[-1])
     out = {

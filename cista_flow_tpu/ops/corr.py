@@ -31,12 +31,13 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                        num_levels: int = 4) -> CorrPyramid:
     """fmap1/fmap2: (B, H, W, D) -> pyramid of correlation slices."""
     B, H, W, D = fmap1.shape
-    a = fmap1.reshape(B, H * W, D).astype(jnp.float32)
-    b = fmap2.reshape(B, H * W, D).astype(jnp.float32)
-    # (B, H1W1, H2W2) on the MXU
+    a = fmap1.reshape(B, H * W, D)
+    b = fmap2.reshape(B, H * W, D)
+    # (B, H1W1, H2W2) on the MXU (fp32 accumulation); the stored pyramid
+    # keeps the input compute dtype (bf16 mode halves lookup traffic)
     corr = jnp.einsum("bnd,bmd->bnm", a, b,
                       preferred_element_type=jnp.float32)
-    corr = corr / jnp.sqrt(jnp.float32(D))
+    corr = (corr / jnp.sqrt(jnp.float32(D))).astype(fmap1.dtype)
     corr = corr.reshape(B * H * W, H, W, 1)
     levels = [corr]
     for _ in range(num_levels - 1):
@@ -45,20 +46,68 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     return CorrPyramid(tuple(levels), B, H, W)
 
 
+def _interp_matrix(centers: jnp.ndarray, offsets: jnp.ndarray,
+                   size: int) -> jnp.ndarray:
+    """Bilinear selection matrix W[n, a, s]: weight of source index s for the
+    sample at ``centers[n] + offsets[a]``.
+
+    Encodes RAFT's zeros-padding semantics: out-of-range source indices
+    simply have no matching column, so their contribution is zero — exactly
+    the per-corner masking of the reference's grid_sample(zeros).
+    """
+    pos = centers[:, None] + offsets[None]          # (n, A)
+    lo = jnp.floor(pos)
+    frac = pos - lo                                 # (n, A)
+    src = jnp.arange(size, dtype=jnp.float32)       # (S,)
+    lo_match = (src == lo[..., None]).astype(jnp.float32)
+    hi_match = (src == (lo[..., None] + 1.0)).astype(jnp.float32)
+    return lo_match * (1.0 - frac[..., None]) + hi_match * frac[..., None]
+
+
 def lookup_corr(pyr: CorrPyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
-    """Sample (2r+1)^2 windows around ``coords`` at every pyramid level.
+    """Sample (2r+1)^2 bilinear windows around ``coords`` at every level.
 
     coords: (B, H1, W1, 2) pixel coords in level-0 units.
     Returns (B, H1, W1, num_levels*(2r+1)^2), level-major like the torch cat.
+
+    TPU design: a naive gather here (tiny lane dim) is the RAFT TPU
+    bottleneck. Because every window offset shares the sample's fractional
+    part, the whole bilinear window factorizes into two separable selection
+    matmuls: ``window = Wy @ corr @ Wx^T`` — dense batched GEMMs on the MXU
+    instead of 4*(2r+1)^2 scatter-gathers. Numerics identical to the
+    reference lookup (pinned by tests).
     """
     r = radius
     B, H1, W1, _ = coords.shape
     n = B * H1 * W1
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    # Window channel order must match the checkpoints: torch builds
-    # delta[i, j] = (d_i, d_j) added to (x, y) (its meshgrid(dy, dx, 'ij')
-    # stacked last puts the FIRST axis on x), then flattens (i, j) row-major.
-    # So the flattened window channel is x-offset-major.
+    cflat = coords.reshape(n, 2)
+
+    out = []
+    for i, level in enumerate(pyr.levels):
+        _, hl, wl, _ = level.shape
+        c = cflat / (2.0 ** i)
+        wy = _interp_matrix(c[:, 1], d, hl).astype(level.dtype)
+        wx = _interp_matrix(c[:, 0], d, wl).astype(level.dtype)
+        corr = level.reshape(n, hl, wl)
+        rows = jnp.einsum("nah,nhw->naw", wy, corr,
+                          preferred_element_type=jnp.float32)
+        win = jnp.einsum("naw,nbw->nab", rows.astype(level.dtype), wx,
+                         preferred_element_type=jnp.float32)
+        # channel order: x-offset-major (torch's meshgrid(dy,dx) quirk puts
+        # the first window axis on x) -> transpose (a=y, b=x) to (b, a)
+        win = win.transpose(0, 2, 1)
+        out.append(win.reshape(B, H1, W1, (2 * r + 1) ** 2))
+    return jnp.concatenate(out, axis=-1)
+
+
+def lookup_corr_gather(pyr: CorrPyramid, coords: jnp.ndarray,
+                       radius: int = 4) -> jnp.ndarray:
+    """Gather-based reference lookup (kept for cross-checking the MXU path)."""
+    r = radius
+    B, H1, W1, _ = coords.shape
+    n = B * H1 * W1
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
     dxx, dyy = jnp.meshgrid(d, d, indexing="ij")
     delta = jnp.stack([dxx, dyy], axis=-1)  # delta[i, j] = (d_i, d_j)
 

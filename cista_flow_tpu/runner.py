@@ -85,7 +85,7 @@ class Reconstructor:
                 kwargs["flow_init"] = extra
             rec, batch_flow, new_state, _ = composite.apply(
                 params, mstate, batch, state, cfg, batch_gt=batch_gt,
-                iters=self.iters, **kwargs)
+                iters=self.iters, collect_preds=False, **kwargs)
             flow_final = batch_flow["flow_final"]
             next_extra = batch_flow.get("next_flow")
             return rec, flow_final, new_state, next_extra
