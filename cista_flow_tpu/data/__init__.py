@@ -1,9 +1,13 @@
+from . import augmentors, file_io
+from .flying_chairs2 import FlyingChairs2
 from .event_readers import (
     FixedSizeEventReader,
     RefTimeEventReaderZip,
     SingleEventReaderNpz,
 )
 from .io import (
+    show_flow,
+    show_whole_img,
     ErrorMapWriter,
     EvalWriter,
     EventWriter,

@@ -188,3 +188,48 @@ class VideoWriter(Writer):
                 img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
             video.write(img)
         video.release()
+
+
+def show_whole_img(event_patch, output, gt_img_patch, path="test_images/train_rec.png"):
+    """Side-by-side debug panel (ref: utils/data_io.py:268-289).
+    Inputs: NHWC numpy/jax arrays."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ev = np.asarray(event_patch)
+    pred = np.asarray(output)
+    gt = np.asarray(gt_img_patch)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    axes[0].imshow(ev[0, :, :, 0])
+    axes[0].set_title(f"mean {ev.mean():.3f}, var {ev.var():.3f}")
+    axes[1].imshow(pred[0, :, :, 0], cmap="gray")
+    axes[1].set_title(f"mean {pred.mean():.3f}, var {pred.var():.3f}")
+    axes[2].imshow(gt[0, :, :, 0])
+    axes[2].set_title(f"mean {gt.mean():.3f}, var {gt.var():.3f}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def show_flow(pred_flow, gt_flow, warped_pred_diff, warped_gt_diff,
+              path="test_images/flow.png"):
+    """Flow debug panel (ref: utils/data_io.py:291-325). NHWC inputs."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+    axes[0, 0].imshow(np.asarray(gt_flow)[0, :, :, 0])
+    axes[0, 0].set_title("GT flow")
+    axes[0, 1].imshow(np.asarray(pred_flow)[0, :, :, 0])
+    axes[0, 1].set_title("Pred flow")
+    axes[1, 0].imshow(np.asarray(warped_gt_diff)[0, :, :, 0], cmap="gray")
+    axes[1, 0].set_title("Diff w gt flow")
+    axes[1, 1].imshow(np.asarray(warped_pred_diff)[0, :, :, 0], cmap="gray")
+    axes[1, 1].set_title("Diff w pred flow")
+    for ax in axes.ravel():
+        ax.axis("off")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)

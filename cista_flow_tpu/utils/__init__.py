@@ -1,4 +1,6 @@
 from .image import (
+    InputPadder,
+    setup_seed,
     CropParameters,
     forward_interpolate,
     normalize_image,

@@ -79,3 +79,59 @@ def forward_interpolate(flow: np.ndarray) -> np.ndarray:
     flow_y = _interp.griddata((x1, y1), dyf, (x0, y0), method="nearest",
                               fill_value=0)
     return np.stack([flow_x, flow_y], axis=0).astype(np.float32)
+
+
+def setup_seed(seed: int) -> None:
+    """Seed every host RNG in play (ref: DCEIFlow/utils/utils.py:12-20;
+    torch only if present — it is not on the compute path)."""
+    import os
+    import random
+
+    import numpy as np
+
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    np.random.seed(seed)
+    random.seed(seed)
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
+
+
+class InputPadder:
+    """Pads HW to multiples of ``div`` with replicate edges, split evenly
+    ('sintel') or bottom-only ('kitti') (ref: DCEIFlow/utils/utils.py:23-57).
+    Operates on numpy NHWC / HWC arrays."""
+
+    def __init__(self, dims, div: int = 8, mode: str = "sintel"):
+        ht, wd = dims[-2:] if len(dims) >= 2 else dims
+        pad_ht = (((ht // div) + 1) * div - ht) % div
+        pad_wd = (((wd // div) + 1) * div - wd) % div
+        if mode == "sintel":
+            self._pad = [pad_wd // 2, pad_wd - pad_wd // 2,
+                         pad_ht // 2, pad_ht - pad_ht // 2]
+        else:
+            self._pad = [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht]
+
+    def pad(self, *inputs):
+        l, r, t, b = self._pad
+        out = []
+        for x in inputs:
+            pads = [(t, b), (l, r)]
+            if x.ndim == 3:
+                pads = pads + [(0, 0)]
+            elif x.ndim == 4:
+                pads = [(0, 0)] + pads + [(0, 0)]
+            out.append(np.pad(x, pads, mode="edge"))
+        return out
+
+    def unpad(self, x):
+        if x is None:
+            return None
+        l, r, t, b = self._pad
+        ht, wd = (x.shape[1:3] if x.ndim == 4 else x.shape[:2])
+        ys = slice(t, ht - b)
+        xs = slice(l, wd - r)
+        return x[:, ys, xs] if x.ndim == 4 else x[ys, xs]
