@@ -92,6 +92,10 @@ class Trainer:
             shuffle=cfgs.shuffle, seed=cfgs.seed)
 
         # ---- mesh / optimizer --------------------------------------------
+        # --distributed (the reference's 2-GPU split flag) maps to a
+        # data-parallel mesh over all local devices
+        if cfgs.distributed and cfgs.mesh_shape == "1":
+            cfgs.mesh_shape = str(len(jax.devices()))
         self.mesh = parallel.mesh_from_config(cfgs) \
             if cfgs.mesh_shape != "1" else None
         lr = cfgs.lr * (0.9 ** np.floor(cfgs.load_epoch_for_train / 10.0))
