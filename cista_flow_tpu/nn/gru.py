@@ -59,11 +59,19 @@ def sep_conv_gru_init(key, hidden_dim, input_dim):
 
 
 def sep_conv_gru(p, h, x):
-    """Separable 1x5 then 5x1 GRU (ref: with_event_updater.py:35-67)."""
+    """Separable 1x5 then 5x1 GRU (ref: with_event_updater.py:35-67).
+
+    The z and r convs consume the same cat(h, x), so they run as ONE conv
+    with concatenated output channels (fewer, larger MXU ops; weights are
+    kept separate in the param tree for checkpoint parity)."""
     for suffix, pad in (("1", (0, 2)), ("2", (2, 0))):
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(C.apply_conv(p["convz" + suffix], hx, padding=pad))
-        r = jax.nn.sigmoid(C.apply_conv(p["convr" + suffix], hx, padding=pad))
+        pz, pr = p["convz" + suffix], p["convr" + suffix]
+        w = jnp.concatenate([pz["w"], pr["w"]], axis=-1)
+        b = jnp.concatenate([pz["b"], pr["b"]], axis=-1)
+        zr = jax.nn.sigmoid(C.conv2d(hx, w, b, padding=pad))
+        nh = h.shape[-1]
+        z, r = zr[..., :nh], zr[..., nh:]
         q = jnp.tanh(C.apply_conv(
             p["convq" + suffix], jnp.concatenate([r * h, x], axis=-1), padding=pad))
         h = (1 - z) * h + z * q
