@@ -115,3 +115,54 @@ def test_train_cli_two_epochs(tmp_path):
     ckpts = os.listdir(trainer.path_to_model)
     assert any(c.endswith("_1.pth.tar") for c in ckpts)
     assert any(c.endswith("_2.pth.tar") for c in ckpts)
+
+
+def test_train_cli_gtflow_pretraining(tmp_path):
+    """CISTA (GT Flow) pretraining — no flow net, GT flow drives warps."""
+    import train as train_cli
+
+    root = str(tmp_path / "train")
+    os.makedirs(root, exist_ok=True)
+    make_train_txt(root, n_videos=1, frames_per_video=4, n_events=200)
+    cfg = Config(image_dim=(H, W), model_mode="cista-gtflow",
+                 path_to_train_data=root,
+                 path_to_model=str(tmp_path / "models"),
+                 len_sequence=3, batch_size=1, epochs=1,
+                 flow_epoch=0, rec_epoch=0, shuffle=False)
+    trainer = train_cli.Trainer(cfg)
+    trainer.run()
+    ckpts = os.listdir(trainer.path_to_model)
+    assert any(c.endswith("_1.pth.tar") for c in ckpts)
+    # the exported cista checkpoint loads into the upstream CistaLSTCNet
+    add_reference_to_path()
+    import torch
+    from e2v.e2v_model import CistaLSTCNet
+
+    path = os.path.join(trainer.path_to_model, ckpts[0])
+    sd = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+    cista_sd = {k[len("cista_net."):]: v for k, v in sd.items()
+                if k.startswith("cista_net.")}
+    net = CistaLSTCNet(image_dim=(H, W), base_channels=64, depth=5, num_bins=5)
+    net.load_state_dict(cista_sd, strict=True)
+
+
+def test_noeval_cli(tmp_path):
+    """Raw-stream inference via FixedSizeEventReader on a txt event file."""
+    import test_noeval as noeval_cli
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = np.sort(rng.random(n))
+    ev = np.stack([t, rng.integers(0, W, n), rng.integers(0, H, n),
+                   rng.integers(0, 2, n)], axis=1)
+    path = str(tmp_path / "events.txt")
+    np.savetxt(path, ev, fmt="%.6f %d %d %d")
+
+    cfg = Config(image_dim=(H, W), model_mode="cista-idnet",
+                 path_to_test_data=path,
+                 output_folder=str(tmp_path / "out"),
+                 num_events=800, test_img_num=3, flow_iters=1)
+    noeval_cli.run(cfg)
+    pngs = [f for _, _, files in os.walk(str(tmp_path / "out"))
+            for f in files if f.endswith(".png")]
+    assert pngs

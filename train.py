@@ -35,6 +35,11 @@ from cista_flow_tpu.runner import model_name_from_cfg
 
 def phase_for_epoch(cfgs, epoch: int):
     """Returns (fix_net_name, loss_mode, use_gt_flow, lr_override)."""
+    if cfgs.model_mode in ("cista-lstc", "cista-gtflow"):
+        # CISTA (GT Flow) pretraining — the reference defers this stage to the
+        # external CISTA repo; supported natively here: no flow net, GT flow
+        # drives the warps, reconstruction loss only.
+        return None, "rec", True, None
     if epoch < cfgs.flow_epoch:
         return "rec", "flow", True, None
     if epoch < cfgs.flow_epoch + cfgs.rec_epoch:
