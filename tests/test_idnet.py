@@ -56,3 +56,18 @@ def test_idnet_forward_parity(ref_net, with_init):
         ref_v = np.transpose(ref[key].numpy(), (0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(out[key]), ref_v,
                                    rtol=1e-3, atol=1e-3, err_msg=key)
+
+
+def test_idnet_multi_deblur_iters(ref_net):
+    """deblur_iters=2: the cumulative deblur-warp chain must match."""
+    rng = np.random.default_rng(8)
+    B, H, W = 1, 100, 172
+    ev = rng.standard_normal((B, H, W, 5), dtype=np.float32)
+    with torch.no_grad():
+        ref = ref_net(event_bins=t(ev), deblur_iters=2)
+    params = ti.idnet_params(ti.from_torch(ref_net))
+    out = idnet.apply(params, jnp.asarray(ev), Cfg(), deblur_iters=2)
+    for key in ("flow_final", "next_flow"):
+        ref_v = np.transpose(ref[key].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out[key]), ref_v,
+                                   rtol=1e-3, atol=2e-3, err_msg=key)

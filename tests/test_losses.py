@@ -182,3 +182,31 @@ def test_lpips_runs():
     d = losses.lpips.lpips(params, x, y)
     assert np.isfinite(float(d))
     assert float(losses.lpips.lpips(params, x, x)) < 1e-6
+
+
+def test_ssim_matches_independent_numpy():
+    """Cross-check the separable-blur SSIM against a direct 2D implementation
+    of the msssim algorithm (gaussian 11/1.5, valid padding)."""
+    from scipy.signal import convolve2d
+
+    x = RNG.random((1, 40, 44, 1), dtype=np.float32)
+    y = np.clip(x + RNG.normal(0, 0.08, x.shape).astype(np.float32), 0, 1)
+
+    g = np.exp(-((np.arange(11) - 5) ** 2) / (2 * 1.5**2))
+    g = (g / g.sum()).astype(np.float64)
+    k2d = np.outer(g, g)
+
+    def blur(a):
+        return convolve2d(a, k2d, mode="valid")
+
+    a, b = x[0, :, :, 0].astype(np.float64), y[0, :, :, 0].astype(np.float64)
+    mu1, mu2 = blur(a), blur(b)
+    s1 = blur(a * a) - mu1**2
+    s2 = blur(b * b) - mu2**2
+    s12 = blur(a * b) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    cs = (2 * s12 + c2) / (s1 + s2 + c2)
+    expect = float((((2 * mu1 * mu2 + c1) / (mu1**2 + mu2**2 + c1)) * cs).mean())
+
+    got = float(losses.ssim(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
