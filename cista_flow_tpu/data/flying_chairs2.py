@@ -98,10 +98,11 @@ class FlyingChairs2:
         mag = np.linalg.norm(flow01, axis=-1)
         valid = (mag < 1000).astype(np.float32)
 
+        # CHW everywhere (matches the reference's permuted tensors)
         batch = {
             "event_voxel": voxel.astype(np.float32),
-            "gt_img0": im1.astype(np.float32) / 255.0,
-            "gt_img1": im2.astype(np.float32) / 255.0,
+            "gt_img0": np.transpose(im1, (2, 0, 1)).astype(np.float32) / 255.0,
+            "gt_img1": np.transpose(im2, (2, 0, 1)).astype(np.float32) / 255.0,
             "gt_flow": np.transpose(flow01, (2, 0, 1)).astype(np.float32),
             "gt_flow_bw": np.transpose(flow10, (2, 0, 1)).astype(np.float32),
             "valid": valid[None],

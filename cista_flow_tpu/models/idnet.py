@@ -35,15 +35,18 @@ def init(key, cfg, pred_next_flow: bool = True):
     }
 
 
-def _deblur(voxel: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp bin t of (B,H,W,V) along flow*t/(V-1) ('voxel' deblur mode,
-    ref: idn/idedeq.py:74-92; align_corners=False, zeros padding)."""
+def _deblur(voxel: jnp.ndarray, flow: jnp.ndarray,
+            mode: str = "voxel") -> jnp.ndarray:
+    """Warp bin t of (B,H,W,V) along the scaled flow
+    (ref: idn/idedeq.py:74-92; align_corners=False, zeros padding).
+    mode='voxel': scale = t/(V-1); mode='patch'-style: (t+0.5)/V
+    (ref: idedeq.py:81-84 deblur_mode branch)."""
     B, H, W, V = voxel.shape
     xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     outs = []
     for t_idx in range(V):
-        scale = t_idx / (V - 1)
+        scale = t_idx / (V - 1) if mode == "voxel" else (t_idx + 0.5) / V
         gx = (xx + flow[..., 0] * scale) / (W - 1) * 2.0 - 1.0
         gy = (yy + flow[..., 1] * scale) / (H - 1) * 2.0 - 1.0
         grid = jnp.stack([gx, gy], axis=-1)
@@ -53,7 +56,7 @@ def _deblur(voxel: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
-          pred_next_flow: bool = True):
+          pred_next_flow: bool = True, deblur_mode: str = "voxel"):
     """event_bins: (B, H, W, V). Returns the reference dict surface:
     flow_final (unpadded), next_flow (padded), flow_preds."""
     padder = ImagePadder(cfg.image_dim, min_size=32)
@@ -68,7 +71,7 @@ def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
     next_flow = None
 
     for _ in range(deblur_iters):
-        x_deblur = _deblur(x_deblur, delta_flow)
+        x_deblur = _deblur(x_deblur, delta_flow, mode=deblur_mode)
         net = jnp.zeros((B, H // DOWNSAMPLE, W // DOWNSAMPLE, HIDDEN_DIM),
                         x_raw.dtype)
         # fold per-bin features: slice = (B, H, W, 2) (bin duplicated, ref

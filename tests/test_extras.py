@@ -128,6 +128,7 @@ def test_flying_chairs2(tmp_path):
     assert item["event_voxel"].shape == (5, 16, 20)
     assert item["event_voxel_bw"].shape == (5, 16, 20)
     assert item["gt_flow"].shape == (2, 16, 20)
+    assert item["gt_img0"].shape == (3, 16, 20)
 
     val = FlyingChairs2(Args(), str(root), data_kind="val",
                         validate_indices=[1])
