@@ -63,6 +63,14 @@ class Reconstructor:
         print(f"Total parameters: {n_params}")
         print(f"Estimated model memory size: {n_params * 4 / 1024 / 1024:.2f} MB")
 
+        # bf16 serving mode (--dtype bfloat16): ~2x faster on TPU, PSNR
+        # impact measured in tests/test_bf16_drift.py
+        self.dtype = jnp.bfloat16 if cfgs.dtype == "bfloat16" else jnp.float32
+        if self.dtype == jnp.bfloat16:
+            self.params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, self.params)
+
         self.iters = cfgs.default_flow_iters()
         self._step = self._build_step()
         self.reset()
@@ -99,28 +107,31 @@ class Reconstructor:
     def reset(self):
         """New sequence: zero state, zero prev frame, clear chaining."""
         h, w = self.image_dim
-        self.state = composite.zero_state(1, self.cfgs)
-        self.prev_image = jnp.zeros((1, h, w, 1), jnp.float32)
+        dt = self.dtype
+        self.state = jax.tree_util.tree_map(
+            lambda x: x.astype(dt), composite.zero_state(1, self.cfgs))
+        self.prev_image = jnp.zeros((1, h, w, 1), dt)
         hp = (h + 31) // 32 * 32
         wp = (w + 31) // 32 * 32
         if self.model_mode == "cista-eraft":
-            self.extra = jnp.zeros((1, h, w, self.cfgs.num_bins), jnp.float32)
+            self.extra = jnp.zeros((1, h, w, self.cfgs.num_bins), dt)
         elif self.model_mode == "cista-idnet":
             # next_flow chaining lives at padded resolution (ref: idedeq.py)
-            self.extra = jnp.zeros((1, hp, wp, 2), jnp.float32)
+            self.extra = jnp.zeros((1, hp, wp, 2), dt)
         else:
-            self.extra = jnp.zeros((1,), jnp.float32)  # unused placeholder
+            self.extra = jnp.zeros((1,), dt)  # unused placeholder
 
     def step(self, voxel_chw: np.ndarray, gt_flow_chw: np.ndarray | None = None,
              use_gt_flow: bool = False):
         """One reconstruction. voxel: (C,H,W) numpy; gt_flow: (2,H,W) or None.
         Returns (rec (H,W) np.float32, flow_final (2,H,W) np.float32)."""
         h, w = self.image_dim
-        events = jnp.asarray(voxel_chw.transpose(1, 2, 0))[None]
+        events = jnp.asarray(voxel_chw.transpose(1, 2, 0), self.dtype)[None]
         if gt_flow_chw is None:
             gt_flow = jnp.zeros((1, h, w, 2), jnp.float32)
         else:
-            gt_flow = jnp.asarray(gt_flow_chw.transpose(1, 2, 0))[None]
+            gt_flow = jnp.asarray(gt_flow_chw.transpose(1, 2, 0),
+                                  jnp.float32)[None]
 
         rec, flow_final, self.state, next_extra = self._step[bool(use_gt_flow)](
             self.params, self.model_state, self.state, events,
@@ -130,8 +141,8 @@ class Reconstructor:
             self.extra = events
         elif self.model_mode == "cista-idnet" and next_extra is not None:
             self.extra = next_extra
-        rec_np = np.asarray(rec)[0, :, :, 0]
-        flow_np = np.asarray(flow_final)[0].transpose(2, 0, 1)
+        rec_np = np.asarray(rec.astype(jnp.float32))[0, :, :, 0]
+        flow_np = np.asarray(flow_final.astype(jnp.float32))[0].transpose(2, 0, 1)
         return rec_np, flow_np
 
 
