@@ -224,3 +224,30 @@ def test_pretrain_flow_cli(tmp_path):
                   if not np.array_equal(before[k].numpy(),
                                         net.state_dict()[k].numpy()))
     assert changed > 50
+
+
+def test_train_orbax_exact_resume(tmp_path):
+    """--load_epoch_for_train -1 restores params + optimizer moments."""
+    import train as train_cli
+
+    root = str(tmp_path / "train")
+    os.makedirs(root, exist_ok=True)
+    make_train_txt(root, n_videos=1, frames_per_video=4, n_events=200)
+    kw = dict(image_dim=(H, W), model_mode="cista-gtflow",
+              path_to_train_data=root, path_to_model=str(tmp_path / "m"),
+              len_sequence=3, batch_size=1, flow_epoch=0, rec_epoch=0,
+              shuffle=False, orbax_ckpt=True)
+    t1 = train_cli.Trainer(Config(epochs=1, **kw))
+    t1.run()
+
+    t2 = train_cli.Trainer(Config(epochs=2, load_epoch_for_train=-1, **kw))
+    assert t2._orbax_resume == 1
+    # params match the end of the first run
+    a = np.asarray(t1.params["cista"]["final"]["w"])
+    b = np.asarray(t2.params["cista"]["final"]["w"])
+    np.testing.assert_array_equal(a, b)
+    # Adam moments restored (non-zero after step 1)
+    mus = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        t2.opt_state.inner_state[0].mu)]
+    assert any(np.abs(m).max() > 0 for m in mus)
+    t2.run()

@@ -57,7 +57,19 @@ class Trainer:
         os.makedirs(self.path_to_model, exist_ok=True)
 
         # ---- params / checkpoints (ref: train.py:57-79) -----------------
-        if cfgs.load_epoch_for_train:
+        # load_epoch_for_train == -1: exact resume from the latest orbax
+        # checkpoint (params + BN state + optimizer moments + epoch — a
+        # capability the reference lacks: it reloads weights only)
+        self._orbax_resume = None
+        orbax_dir = os.path.join(self.path_to_model, "orbax")
+        if cfgs.load_epoch_for_train == -1:
+            step = orbax_io.latest_step(orbax_dir)
+            assert step is not None, f"no orbax checkpoint in {orbax_dir}"
+            self.params, self.model_state = composite.init(
+                jax.random.PRNGKey(cfgs.seed), cfgs)
+            self._orbax_resume = step
+            cfgs.load_epoch_for_train = step
+        elif cfgs.load_epoch_for_train:
             path = os.path.join(
                 self.path_to_model,
                 f"{self.model_name}_{cfgs.load_epoch_for_train}.pth.tar")
@@ -107,6 +119,15 @@ class Trainer:
         self.base_lr = cfgs.lr
         self.opt = parallel.make_optimizer(float(lr))
         self.opt_state = self.opt.init(self.params)
+        if self._orbax_resume is not None:
+            template = {"params": self.params, "model_state": self.model_state,
+                        "opt_state": self.opt_state}
+            restored, _ = orbax_io.restore_checkpoint(
+                orbax_dir, self._orbax_resume, template=template)
+            self.params = restored["params"]
+            self.model_state = restored["model_state"]
+            self.opt_state = restored["opt_state"]
+            print(f"Resumed exactly from orbax step {self._orbax_resume}")
         if self.mesh is not None:
             self.params = parallel.replicate_tree(self.params, self.mesh)
             self.model_state = parallel.replicate_tree(self.model_state, self.mesh)
