@@ -47,7 +47,9 @@ def discover_mvsec(cfgs):
     return sorted(seq_paths), sorted(seq_names)
 
 
-def evaluate(cfgs):
+def evaluate(cfgs, dataset_factory=None):
+    """dataset_factory(cfgs, path, name) -> MVSEC_NE-like dataset; injectable
+    for testing with small synthetic fixtures."""
     recon = Reconstructor(cfgs)
     seq_paths, seq_names = discover_mvsec(cfgs)
 
@@ -56,7 +58,10 @@ def evaluate(cfgs):
     metric_keys = None
 
     for path, data_name in zip(seq_paths, seq_names):
-        ds = MVSEC_NE(cfgs, data_root=path, data_split=data_name)
+        if dataset_factory is not None:
+            ds = dataset_factory(cfgs, path, data_name)
+        else:
+            ds = MVSEC_NE(cfgs, data_root=path, data_split=data_name)
         recon.reset()
         image_writer = ImageWriter(cfgs, recon.model_name, data_name)
         eval_writer = EvalWriter(cfgs, recon.model_name, data_name)

@@ -137,3 +137,27 @@ def test_triangular_voxel_matches_reference():
     ref = ref_voxel(events_xytp.copy(), num_bins=5, height=H, width=W)
     got = events_to_voxel_triangular(events_xytp, 5, H, W)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mvsec_cli_e2e(tmp_path, small_valid_range):
+    """Full test_mvsec CLI on a small synthetic fixture (injected dims)."""
+    import test_mvsec as mvsec_cli
+    from cista_flow_tpu.configs import Config
+
+    mvsec = small_valid_range
+    root = str(tmp_path / "data" / "indoor")
+    make_mvsec_hdf5(root)
+
+    def factory(cfgs, path, name):
+        ds = mvsec.MVSEC_NE(cfgs, data_root=path, data_split=name)
+        ds.width, ds.height = W, H
+        ds.crop_size = (H, W)
+        return ds
+
+    cfg = Config(image_dim=(H, W), model_mode="cista-eraft",
+                 path_to_test_data=str(tmp_path / "data"),
+                 output_folder=str(tmp_path / "out"),
+                 num_events=150, test_img_num=8, flow_iters=1)
+    results = mvsec_cli.evaluate(cfg, dataset_factory=factory)
+    assert results[-1][0] == "mean"
+    assert np.isfinite(np.asarray(results[0][1:-1], dtype=float)).all()
