@@ -130,3 +130,46 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
     i_rec, new_state = cista_lstc.apply(cista_params, events, warped_i, state,
                                         depth=cfg.depth)
     return i_rec, batch_flow, new_state, new_model_state
+
+
+def apply_sequence_eraft(params, model_state, voxel_seq, state, cfg,
+                         rec0=None, iters=None):
+    """Time-parallel serving for cista-eraft.
+
+    TPU-first restructuring impossible in the reference's eager loop: the
+    E-RAFT flow depends ONLY on consecutive voxel pairs (ref:
+    e2v_model.py:225), never on the reconstruction, so the whole chunk's
+    flows run as ONE batched flow-net call (T folded into the batch) at high
+    MXU utilization; only the cheap CISTA recurrence stays sequential
+    (lax.scan). Numerically identical to stepping composite.apply
+    (tests/test_sequence_eraft.py).
+
+    voxel_seq: (T+1, B, H, W, bins) — voxel_seq[t], voxel_seq[t+1] feed step t
+    (voxel_seq[0] is the 'old' voxel of the first step, zeros at stream start).
+    Returns (recs (T, B, H, W, 1), flows (T, B, H, W, 2), state).
+    """
+    iters = iters if iters is not None else cfg.default_flow_iters()
+    t_plus1, b = voxel_seq.shape[:2]
+    t_len = t_plus1 - 1
+    old = voxel_seq[:-1].reshape(t_len * b, *voxel_seq.shape[2:])
+    new = voxel_seq[1:].reshape(t_len * b, *voxel_seq.shape[2:])
+    batch_flow, _ = eraft.apply(params["flow"], model_state["flow"], old, new,
+                                cfg, iters=iters, collect_preds=False)
+    flows = batch_flow["flow_final"].reshape(t_len, b,
+                                             *batch_flow["flow_final"].shape[1:])
+
+    if rec0 is None:
+        h, w = cfg.image_dim
+        rec0 = jnp.zeros((b, h, w, 1), voxel_seq.dtype)
+
+    def body(carry, xs):
+        rec_prev, st = carry
+        events, flow = xs
+        warped_i, st = _warp_inputs(rec_prev, st, flow, cfg)
+        rec, st = cista_lstc.apply(params["cista"], events, warped_i, st,
+                                   depth=cfg.depth)
+        return (rec, st), rec
+
+    (rec, state), recs = jax.lax.scan(body, (rec0, state),
+                                      (voxel_seq[1:], flows))
+    return recs, flows, state
