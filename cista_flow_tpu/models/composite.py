@@ -142,7 +142,10 @@ def apply_sequence_eraft(params, model_state, voxel_seq, state, cfg,
     flows run as ONE batched flow-net call (T folded into the batch) at high
     MXU utilization; only the cheap CISTA recurrence stays sequential
     (lax.scan). Numerically identical to stepping composite.apply
-    (tests/test_sequence_eraft.py).
+    (tests/test_sequence_eraft.py). Measured on v5e (bf16, 180x240): ~5%
+    end-to-end over the stepwise scan at B=1-8 — the serial CISTA recurrence
+    dominates; the bigger win is expected when the flow net grows relative
+    to CISTA (more GRU iterations / higher resolution).
 
     voxel_seq: (T+1, B, H, W, bins) — voxel_seq[t], voxel_seq[t+1] feed step t
     (voxel_seq[0] is the 'old' voxel of the first step, zeros at stream start).
