@@ -38,6 +38,9 @@ def conv2d(
     else:
         pad_cfg = ((ph, ph), (pw, pw))
 
+    # No explicit preferred_element_type: TPU convs accumulate fp32 on the
+    # MXU regardless, and requesting f32 output from bf16 operands breaks the
+    # conv transpose (gradient) dtype rules.
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -45,8 +48,7 @@ def conv2d(
         padding=pad_cfg,
         dimension_numbers=DIMS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

@@ -75,6 +75,9 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
     from jax.sharding import PartitionSpec as P
 
     frozen_key = {"rec": "cista", "flow": "flow"}.get(fix_net_name)
+    # mixed precision: f32 master params, bf16 forward/backward compute
+    # (losses and flows stay f32; grads come back f32 through the cast)
+    bf16 = getattr(cfg, "dtype", "float32") == "bfloat16"
 
     def constrain(step_data):
         if mesh is None or spatial_axis is None:
@@ -85,9 +88,20 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
             for k, v in step_data.items()}
 
     def loss_fn(params, model_state, seq):
+        if bf16:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+            seq = dict(seq)
+            for k in ("event_voxel", "event_voxel_old", "event_voxel_bw"):
+                if k in seq:
+                    seq[k] = seq[k].astype(jnp.bfloat16)
         t_len, batch = seq["event_voxel"].shape[:2]
         h, w = cfg.image_dim
         state0 = composite.zero_state(batch, cfg)
+        if bf16:
+            state0 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), state0)
         rec0 = jnp.zeros((batch, h, w, 1), seq["event_voxel"].dtype)
 
         consis_flags = jnp.arange(t_len) >= 2  # ref: train.py:212

@@ -146,3 +146,26 @@ def test_train_step_dp_plus_spatial_mesh(cfg):
     np.testing.assert_allclose(
         np.asarray(new_params["cista"]["final"]["w"]),
         np.asarray(p1["cista"]["final"]["w"]), rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_train_step_runs_and_converges():
+    """Mixed-precision training: f32 master params, bf16 compute."""
+    rng = np.random.default_rng(5)
+    bcfg = Config(image_dim=(32, 48), model_mode="cista-eraft",
+                  len_sequence=2, flow_iters=1, dtype="bfloat16")
+    params, mstate = composite.init(jax.random.PRNGKey(5), bcfg)
+    opt = parallel.make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    seq = make_seq(rng, 2, 1, 32, 48, 5, with_old=True)
+
+    step = parallel.make_train_step(bcfg, opt, loss_mode="rec",
+                                    fix_net_name=None, use_gt_flow=False,
+                                    donate=False)
+    losses = []
+    for _ in range(3):
+        params, mstate, opt_state, loss = step(params, mstate, opt_state, seq)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # master params stayed f32
+    assert params["cista"]["We"]["w"].dtype == jnp.float32
