@@ -60,3 +60,15 @@ def test_trace_smoke(tmp_path):
     # trace files written
     found = [f for _, _, files in os.walk(d) for f in files]
     assert found
+
+
+def test_trace_tools(tmp_path):
+    from cista_flow_tpu.utils import trace_tools
+
+    d = str(tmp_path / "tb")
+    with profiling.trace(d):
+        y = jnp.ones((256, 256)) @ jnp.ones((256, 256))
+        jax.block_until_ready(y)
+    rows = trace_tools.summarize(d, runs=1, top=10)
+    assert isinstance(rows, list)
+    trace_tools.print_summary(d)
