@@ -126,6 +126,8 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
             target = {"gt_img0": step_data["gt_img0"],
                       "gt_img1": step_data["gt_img1"],
                       "gt_flow": step_data["gt_flow"]}
+            if "gt_flow_bw" in step_data:  # bilateral training (is_bi)
+                target["gt_flow_bw"] = step_data["gt_flow_bw"]
             loss = flow_recon_loss(
                 rec, rec_prev, batch_flow, target, cfg, loss_mode,
                 lpips_params=lpips_params, is_loss_consis=is_consis)

@@ -169,3 +169,25 @@ def test_bf16_train_step_runs_and_converges():
     assert losses[-1] < losses[0], losses
     # master params stayed f32
     assert params["cista"]["We"]["w"].dtype == jnp.float32
+
+
+def test_bilateral_training_step():
+    """is_bi + reversed events: bidirectional flow loss path end-to-end."""
+    rng = np.random.default_rng(6)
+    bcfg = Config(image_dim=(32, 48), model_mode="cista-eiflow",
+                  len_sequence=2, flow_iters=1, is_bi=True,
+                  is_reverse_events=True)
+    params, mstate = composite.init(jax.random.PRNGKey(6), bcfg)
+    opt = parallel.make_optimizer(1e-4)
+    opt_state = opt.init(params)
+    seq = make_seq(rng, 2, 1, 32, 48, 5)
+    seq["event_voxel_bw"] = jnp.asarray(
+        rng.standard_normal((2, 1, 32, 48, 5)).astype(np.float32))
+    seq["gt_flow_bw"] = jnp.asarray(
+        (rng.standard_normal((2, 1, 32, 48, 2)) * 2).astype(np.float32))
+
+    step = parallel.make_train_step(bcfg, opt, loss_mode="flow",
+                                    fix_net_name="rec", use_gt_flow=True,
+                                    donate=False)
+    _, _, _, loss = step(params, mstate, opt_state, seq)
+    assert np.isfinite(float(loss))
