@@ -17,5 +17,6 @@ from .io import (
     make_event_preview,
     merge_optical_flow,
 )
+from .prefetch import device_prefetch
 from .train_loader import StackedSequenceLoader, TrainSequenceDataset
 from .video_readers import VR, ImageReader, VideoReader, read_timestamps_file

@@ -151,3 +151,18 @@ def test_event_count_regrouping(tmp_path):
     # groups of 2 lines reach 600 >= 500 events
     assert len(ds) == 1
     assert all(len(g) == 2 for g in ds.sequence_line_id[0])
+
+
+def test_device_prefetch():
+    import jax.numpy as jnp
+
+    from cista_flow_tpu.data import device_prefetch
+
+    items = [{"a": np.full((4,), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(items), size=2))
+    assert len(out) == 5
+    for i, o in enumerate(out):
+        assert isinstance(o["a"], jnp.ndarray)
+        np.testing.assert_array_equal(np.asarray(o["a"]), items[i]["a"])
+    # empty iterator
+    assert list(device_prefetch(iter([]), size=2)) == []

@@ -68,6 +68,7 @@ def test_train_step_rec_phase_decreases_loss(cfg):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_train_step_on_8_device_mesh(cfg):
     """Full DP sharding on the virtual 8-CPU mesh."""
     rng = np.random.default_rng(2)
@@ -93,6 +94,7 @@ def test_train_step_on_8_device_mesh(cfg):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(cfg):
     """DP over 8 devices == single-device step on the same global batch."""
     rng = np.random.default_rng(3)
@@ -119,6 +121,7 @@ def test_dp_matches_single_device(cfg):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_dp_plus_spatial_mesh(cfg):
     """2D mesh: batch on 'data', activation H on 'spatial' (GSPMD halo
     exchanges for the convolutions)."""

@@ -28,7 +28,8 @@ import jax
 from cista_flow_tpu import configs, parallel
 from cista_flow_tpu.ckpt import orbax_io, torch_import as ti
 from cista_flow_tpu.utils.profiling import StepTimer
-from cista_flow_tpu.data import StackedSequenceLoader, TrainSequenceDataset
+from cista_flow_tpu.data import (StackedSequenceLoader, TrainSequenceDataset,
+                                 device_prefetch)
 from cista_flow_tpu.models import composite
 from cista_flow_tpu.runner import model_name_from_cfg
 
@@ -176,11 +177,11 @@ class Trainer:
             step = self._get_step(fix, loss_mode, use_gt_flow)
             n = len(self.loader)
             timer = StepTimer(f"epoch{epoch + 1}", warmup=1)
-            for batch_idx, seq in enumerate(self.loader):
-                if self.mesh is not None:
-                    seq = parallel.shard_seq_batch(seq, self.mesh)
-                else:
-                    seq = {k: jax.numpy.asarray(v) for k, v in seq.items()}
+            put = ((lambda b: parallel.shard_seq_batch(b, self.mesh))
+                   if self.mesh is not None else
+                   (lambda b: {k: jax.numpy.asarray(v) for k, v in b.items()}))
+            for batch_idx, seq in enumerate(
+                    device_prefetch(self.loader, size=2, put=put)):
                 timer.start()
                 self.params, self.model_state, self.opt_state, loss = step(
                     self.params, self.model_state, self.opt_state, seq)
