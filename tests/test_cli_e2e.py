@@ -251,3 +251,40 @@ def test_train_orbax_exact_resume(tmp_path):
         t2.opt_state.inner_state[0].mu)]
     assert any(np.abs(m).max() > 0 for m in mus)
     t2.run()
+
+
+@pytest.mark.parametrize("mode", ["cista-eiflow", "cista-idnet"])
+def test_checkpoint_roundtrip_other_composites(tmp_path, mode):
+    add_reference_to_path()
+    import torch
+
+    cfg = Config(image_dim=(H, W), model_mode=mode)
+    params, mstate = composite.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "c.pth.tar")
+    ti.save_torch_checkpoint(path, params, mstate, mode, epoch=1,
+                             depth=cfg.depth)
+
+    class RefCfg:
+        image_dim = (H, W)
+        num_bins = 5
+        depth = 5
+        base_channels = 64
+        ds = 8
+        is_bi = False
+        warp_mode = "forward"
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if mode == "cista-eiflow":
+        from e2v.e2v_model import DCEIFlowCistaNet
+
+        ref = DCEIFlowCistaNet(RefCfg())
+    else:
+        from e2v.e2v_model import IDCistaNet
+
+        ref = IDCistaNet(RefCfg())
+    ref.load_state_dict(ckpt["state_dict"], strict=True)
+
+    p2, _ = ti.composite_params(ti.load_state_dict(path), mode)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(p2)
+    assert len(a) == len(b)
