@@ -183,3 +183,22 @@ def test_debug_panels(tmp_path):
     p2 = str(tmp_path / "flow.png")
     show_flow(flow, flow, img, img, path=p2)
     assert os.path.exists(p2)
+
+
+def test_combine_loss_and_metric():
+    from cista_flow_tpu.losses.combine import CombineLoss, CombineMetric
+
+    f1 = lambda o, t: (1.0, {"a": 1.0})
+    f2 = lambda o, t: (2.0, {"b": 4.0})
+    comb = CombineLoss([f1, f2], [1.0, 0.5])
+    m = comb(None, None)
+    assert m["loss"] == 2.0 and m["a"] == 1.0 and m["b"] == 4.0
+
+    cm = CombineMetric([lambda o, t: {"epe": 1.0}, lambda o, t: {"px": 0.5}])
+    r = cm.calculate(None, None)
+    cm.push(r)
+    cm.push({"epe": 3.0, "px": 0.7})
+    text, summary = cm.summary()
+    np.testing.assert_allclose(summary["epe"], 2.0)
+    assert "epe" in text
+    assert cm.get_all() == {}
