@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import os
 
-import jax
-
 
 def _manager(directory: str, max_to_keep: int = 5):
     import orbax.checkpoint as ocp

@@ -12,11 +12,7 @@ import os
 import numpy as np
 
 from ..events import event_preprocess, events_to_voxel_grid
-from .event_readers import (
-    FixedSizeEventReader,
-    RefTimeEventReaderZip,
-    SingleEventReaderNpz,
-)
+from .event_readers import RefTimeEventReaderZip, SingleEventReaderNpz
 
 try:
     import cv2

@@ -17,8 +17,6 @@ perceptual term; quality evals should provide weights).
 """
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,8 +17,6 @@ Differences from the reference, by design:
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

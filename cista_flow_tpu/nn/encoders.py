@@ -12,7 +12,6 @@ layers.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..ops import conv as C
 

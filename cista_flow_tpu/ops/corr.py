@@ -10,7 +10,7 @@ matmul that tiles directly onto the MXU. The 4-level pyramid is built with
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

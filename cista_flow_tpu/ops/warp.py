@@ -19,8 +19,6 @@ normalization themselves, so callers never touch normalized grids.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
