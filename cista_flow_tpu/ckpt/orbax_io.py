@@ -22,7 +22,12 @@ def _manager(directory: str, max_to_keep: int = 5):
 
 
 def save_checkpoint(directory: str, step: int, params, model_state=None,
-                    opt_state=None, max_to_keep: int = 5) -> None:
+                    opt_state=None, max_to_keep: int = 5,
+                    meta: dict | None = None) -> None:
+    """``meta``: small dict of ints (epoch, global_step, ...) stored alongside
+    the arrays — used by the mid-epoch preemption saves to know which epoch to
+    restart on resume."""
+    import numpy as np
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory, max_to_keep)
@@ -31,6 +36,8 @@ def save_checkpoint(directory: str, step: int, params, model_state=None,
         state["model_state"] = model_state
     if opt_state is not None:
         state["opt_state"] = opt_state
+    if meta is not None:
+        state["meta"] = {k: np.asarray(v) for k, v in meta.items()}
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
@@ -51,6 +58,16 @@ def restore_checkpoint(directory: str, step: int | None = None,
         restored = mgr.restore(step)
     mgr.close()
     return restored, step
+
+
+def read_meta(directory: str, step: int) -> dict | None:
+    """Read the ``meta`` dict of a checkpoint (full restore, meta extracted —
+    checkpoints here are small, a partial read isn't worth the machinery)."""
+    restored, _ = restore_checkpoint(directory, step)
+    meta = restored.get("meta")
+    if meta is None:
+        return None
+    return {k: int(v) for k, v in meta.items()}
 
 
 def latest_step(directory: str) -> int | None:

@@ -184,8 +184,6 @@ def lite_encoder_init(key, n_first_channels, output_dim, stride=2):
     for i, (cin, cout, s_) in enumerate(dims, start=1):
         p[f"layer{i}a"], _ = residual_block_init(ks[2 * i - 1], cin, cout, "none", s_)
         p[f"layer{i}b"], _ = residual_block_init(ks[2 * i], cout, cout, "none", 1)
-    p["_strides"] = None  # placeholder: strides are static via config
-    del p["_strides"]
     return p, [s_ for (_, _, s_) in dims]
 
 

@@ -241,12 +241,45 @@ def test_train_orbax_exact_resume(tmp_path):
     t1.run()
 
     t2 = train_cli.Trainer(Config(epochs=2, load_epoch_for_train=-1, **kw))
-    assert t2._orbax_resume == 1
+    rdir, rstep = t2._orbax_resume
+    assert rstep == 1 and rdir.endswith("orbax")
     # params match the end of the first run
     a = np.asarray(t1.params["cista"]["final"]["w"])
     b = np.asarray(t2.params["cista"]["final"]["w"])
     np.testing.assert_array_equal(a, b)
     # Adam moments restored (non-zero after step 1)
+    mus = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        t2.opt_state.inner_state[0].mu)]
+    assert any(np.abs(m).max() > 0 for m in mus)
+    t2.run()
+
+
+def test_train_step_level_preemption_resume(tmp_path):
+    """--save_every_steps N writes mid-epoch preemption checkpoints; with no
+    completed-epoch save, -1 resume restores from the latest step save and
+    restarts that epoch."""
+    import train as train_cli
+
+    root = str(tmp_path / "train")
+    os.makedirs(root, exist_ok=True)
+    make_train_txt(root, n_videos=2, frames_per_video=4, n_events=200)
+    kw = dict(image_dim=(H, W), model_mode="cista-gtflow",
+              path_to_train_data=root, path_to_model=str(tmp_path / "m"),
+              len_sequence=3, batch_size=1, flow_epoch=0, rec_epoch=0,
+              shuffle=False, save_every_steps=1)
+    t1 = train_cli.Trainer(Config(epochs=1, **kw))
+    t1.run()  # simulated preemption: only step-level saves exist
+    assert os.path.isdir(os.path.join(t1.path_to_model, "orbax_steps"))
+
+    t2 = train_cli.Trainer(Config(epochs=1, load_epoch_for_train=-1, **kw))
+    rdir, rstep = t2._orbax_resume
+    assert rdir.endswith("orbax_steps")
+    assert t2.cfgs.load_epoch_for_train == 0  # restart the interrupted epoch
+    assert t2._resume_global_step == rstep > 0
+    a = np.asarray(t1.params["cista"]["final"]["w"])
+    b = np.asarray(t2.params["cista"]["final"]["w"])
+    np.testing.assert_array_equal(a, b)
+    # Adam moments came back too
     mus = [np.asarray(x) for x in jax.tree_util.tree_leaves(
         t2.opt_state.inner_state[0].mu)]
     assert any(np.abs(m).max() > 0 for m in mus)

@@ -61,15 +61,29 @@ class Trainer:
         # load_epoch_for_train == -1: exact resume from the latest orbax
         # checkpoint (params + BN state + optimizer moments + epoch — a
         # capability the reference lacks: it reloads weights only)
-        self._orbax_resume = None
+        self._orbax_resume = None  # (directory, step) when resuming
+        self._resume_global_step = 0
         orbax_dir = os.path.join(self.path_to_model, "orbax")
+        steps_dir = os.path.join(self.path_to_model, "orbax_steps")
         if cfgs.load_epoch_for_train == -1:
-            step = orbax_io.latest_step(orbax_dir)
-            assert step is not None, f"no orbax checkpoint in {orbax_dir}"
             self.params, self.model_state = composite.init(
                 jax.random.PRNGKey(cfgs.seed), cfgs)
-            self._orbax_resume = step
-            cfgs.load_epoch_for_train = step
+            e_step = orbax_io.latest_step(orbax_dir)
+            s_step = orbax_io.latest_step(steps_dir)
+            if s_step is not None:
+                # mid-epoch preemption save: prefer it when it is newer than
+                # the last completed-epoch save; that epoch restarts from the
+                # top (its first batches replay — documented, standard
+                # preemption-recovery semantics)
+                meta = orbax_io.read_meta(steps_dir, s_step) or {}
+                if e_step is None or meta.get("epoch", -1) >= e_step:
+                    self._orbax_resume = (steps_dir, s_step)
+                    self._resume_global_step = meta.get("global_step", 0)
+                    cfgs.load_epoch_for_train = meta.get("epoch", 0)
+            if self._orbax_resume is None:
+                assert e_step is not None, f"no orbax checkpoint in {orbax_dir}"
+                self._orbax_resume = (orbax_dir, e_step)
+                cfgs.load_epoch_for_train = e_step
         elif cfgs.load_epoch_for_train:
             path = os.path.join(
                 self.path_to_model,
@@ -121,14 +135,19 @@ class Trainer:
         self.opt = parallel.make_optimizer(float(lr))
         self.opt_state = self.opt.init(self.params)
         if self._orbax_resume is not None:
+            rdir, rstep = self._orbax_resume
             template = {"params": self.params, "model_state": self.model_state,
                         "opt_state": self.opt_state}
+            if rdir.endswith("orbax_steps"):
+                template["meta"] = {"epoch": np.asarray(0),
+                                    "global_step": np.asarray(0)}
             restored, _ = orbax_io.restore_checkpoint(
-                orbax_dir, self._orbax_resume, template=template)
+                rdir, rstep, template=template)
             self.params = restored["params"]
             self.model_state = restored["model_state"]
             self.opt_state = restored["opt_state"]
-            print(f"Resumed exactly from orbax step {self._orbax_resume}")
+            print(f"Resumed exactly from {os.path.basename(rdir)} "
+                  f"step {rstep}")
         if self.mesh is not None:
             self.params = parallel.replicate_tree(self.params, self.mesh)
             self.model_state = parallel.replicate_tree(self.model_state, self.mesh)
@@ -165,7 +184,7 @@ class Trainer:
 
     def run(self):
         cfgs = self.cfgs
-        global_step = 0
+        global_step = self._resume_global_step
         for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
             fix, loss_mode, use_gt_flow, lr_override = phase_for_epoch(cfgs, epoch)
             lr = lr_override if lr_override is not None else \
@@ -189,6 +208,16 @@ class Trainer:
                 if self.writer is not None:
                     self.writer.add_scalar("loss", float(loss), global_step)
                 global_step += 1
+                if cfgs.save_every_steps > 0 and \
+                        global_step % cfgs.save_every_steps == 0:
+                    # preemption-safe mid-epoch save (params + BN state +
+                    # optimizer moments + position); resume restarts this
+                    # epoch from these exact moments
+                    orbax_io.save_checkpoint(
+                        os.path.join(self.path_to_model, "orbax_steps"),
+                        global_step, self.params, self.model_state,
+                        self.opt_state, max_to_keep=2,
+                        meta={"epoch": epoch, "global_step": global_step})
                 if batch_idx % 50 == 0:
                     print(f"Train Epoch: {epoch + 1} "
                           f"[{batch_idx * cfgs.batch_size}/"
