@@ -190,7 +190,8 @@ class StackedSequenceLoader:
 
     def __init__(self, dataset: TrainSequenceDataset, batch_size: int,
                  len_sequence: int, shuffle: bool = True, seed: int = 0,
-                 num_workers: int = 4):
+                 num_workers: int = 4, process_index: int = 0,
+                 process_count: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.t = len_sequence
@@ -207,6 +208,11 @@ class StackedSequenceLoader:
                 flat.extend(item) if isinstance(item, list) else flat.append(item)
             for s in range(0, len(flat) - self.t + 1, self.t):
                 self.chunks.append(flat[s:s + self.t])
+        # multi-host: each process reads a disjoint round-robin subset; the
+        # per-host batches are assembled into one global array by
+        # parallel.shard_seq_batch (jax.make_array_from_process_local_data)
+        if process_count > 1:
+            self.chunks = self.chunks[process_index::process_count]
 
     def __len__(self):
         return len(self.chunks) // self.batch_size

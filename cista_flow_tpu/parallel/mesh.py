@@ -44,11 +44,21 @@ def batch_sharding(mesh: Mesh, batch_axis_index: int = 1,
 def shard_seq_batch(batch: dict, mesh: Mesh, axis: str = "data",
                     spatial_axis: str | None = None) -> dict:
     """Device-put a dict of (T, B, H, W, C) host arrays with B sharded over
-    ``axis`` (and H over ``spatial_axis`` if given)."""
+    ``axis`` (and H over ``spatial_axis`` if given).
+
+    Multi-host: each process passes its *local* batch (the global batch's
+    contiguous slice along B for this process); the pieces are assembled into
+    one global jax.Array without any cross-host copy
+    (``jax.make_array_from_process_local_data``). Single-process it reduces to
+    a plain sharded device_put.
+    """
     if spatial_axis is not None:
         sh = NamedSharding(mesh, P(None, axis, spatial_axis))
     else:
         sh = batch_sharding(mesh, 1, axis)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

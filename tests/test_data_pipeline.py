@@ -141,6 +141,44 @@ def test_train_dataset_and_stacked_loader(tmp_path):
     assert b["gt_img1"].shape == (5, 2, H, W, 1)
 
 
+def test_loader_process_sharding(tmp_path):
+    """Multi-host loading: per-process loaders cover disjoint chunk subsets
+    whose union is the single-process chunk list."""
+    root = str(tmp_path / "train")
+    os.makedirs(root, exist_ok=True)
+    txt = make_train_txt(root, n_videos=3, frames_per_video=6)
+    cfg = Config(image_dim=(H, W), model_mode="cista-eraft", len_sequence=5,
+                 path_to_train_data=root)
+    ds = TrainSequenceDataset(txt, cfg)
+    full = StackedSequenceLoader(ds, batch_size=1, len_sequence=5,
+                                 shuffle=False, num_workers=0)
+    parts = [StackedSequenceLoader(ds, batch_size=1, len_sequence=5,
+                                   shuffle=False, num_workers=0,
+                                   process_index=i, process_count=2)
+             for i in range(2)]
+    key = lambda chunks: {tuple(c) for c in chunks}
+    assert key(parts[0].chunks) | key(parts[1].chunks) == key(full.chunks)
+    assert key(parts[0].chunks) & key(parts[1].chunks) == set()
+
+
+def test_shard_seq_batch_process_local_assembly():
+    """The multi-host assembly path (make_array_from_process_local_data)
+    produces the same global array as the single-process device_put path."""
+    import jax
+    import numpy as np
+    from cista_flow_tpu import parallel
+
+    mesh = parallel.make_mesh((4,), ("data",), jax.devices("cpu")[:4])
+    host = {"event_voxel": np.random.default_rng(0).normal(
+        size=(3, 8, 6, 6, 5)).astype(np.float32)}
+    put = parallel.shard_seq_batch(host, mesh)["event_voxel"]
+    sh = parallel.batch_sharding(mesh)
+    assembled = jax.make_array_from_process_local_data(
+        sh, host["event_voxel"])
+    np.testing.assert_array_equal(np.asarray(put), np.asarray(assembled))
+    assert assembled.sharding.is_equivalent_to(put.sharding, put.ndim)
+
+
 def test_event_count_regrouping(tmp_path):
     root = str(tmp_path / "train2")
     os.makedirs(root, exist_ok=True)

@@ -119,9 +119,13 @@ class Trainer:
         ds = TrainSequenceDataset(
             os.path.join(cfgs.path_to_train_data, "train_e2v_estflow.txt"),
             cfgs)
+        # multi-host: each process loads a disjoint subset; batch_size is the
+        # PER-HOST batch (global batch = batch_size * process_count)
         self.loader = StackedSequenceLoader(
             ds, batch_size=cfgs.batch_size, len_sequence=max(cfgs.len_sequence, 1),
-            shuffle=cfgs.shuffle, seed=cfgs.seed)
+            shuffle=cfgs.shuffle, seed=cfgs.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
 
         # ---- mesh / optimizer --------------------------------------------
         # --distributed (the reference's 2-GPU split flag) maps to a
