@@ -175,6 +175,14 @@ def idnet_params(sd: dict, prefix: str = "", num_outputs: int = 2):
     if num_outputs == 2:
         p["update"]["flow_head2"] = _flow_head(sd, f"{u}.flow_head2")
         p["update"]["mask2"] = _seq_mask(sd, f"{u}.mask2")
+    if any(k.startswith(g("cnet.")) for k in sd):
+        # input_flowmap mode: context LiteEncoder over the running flow map
+        # (ref: idn/idedeq.py:42-46)
+        p["cnet"] = {"conv1": _conv(sd, g("cnet.conv1"))}
+        for i in (1, 2):
+            for j, suf in ((0, "a"), (1, "b")):
+                p["cnet"][f"layer{i}{suf}"], _ = _residual_block(
+                    sd, g(f"cnet.layer{i}.{j}"), "none")
     return p
 
 

@@ -23,16 +23,21 @@ INPUT_DIM = 64
 DOWNSAMPLE = 8
 
 
-def init(key, cfg, pred_next_flow: bool = True):
-    k1, k2 = jax.random.split(key)
+def init(key, cfg, pred_next_flow: bool = True, input_flowmap: bool = False):
+    k1, k2, k3 = jax.random.split(key, 3)
     fnet, strides = E.lite_encoder_init(k1, n_first_channels=2,
                                         output_dim=INPUT_DIM // 2, stride=2)
-    return {
+    p = {
         "fnet": fnet,
         "update": G.lite_update_block_init(
             k2, HIDDEN_DIM, INPUT_DIM,
             num_outputs=2 if pred_next_flow else 1, downsample=DOWNSAMPLE),
     }
+    if input_flowmap:
+        # context encoder over the running flow map (ref: idn/idedeq.py:42-46)
+        p["cnet"], _ = E.lite_encoder_init(k3, n_first_channels=2,
+                                           output_dim=HIDDEN_DIM // 2, stride=2)
+    return p
 
 
 def _deblur(voxel: jnp.ndarray, flow: jnp.ndarray,
@@ -56,9 +61,21 @@ def _deblur(voxel: jnp.ndarray, flow: jnp.ndarray,
 
 
 def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
-          pred_next_flow: bool = True, deblur_mode: str = "voxel"):
+          pred_next_flow: bool = True, deblur_mode: str = "voxel",
+          input_flowmap: bool = False, deblur: bool = True,
+          add_delta: bool = False):
     """event_bins: (B, H, W, V). Returns the reference dict surface:
-    flow_final (unpadded), next_flow (padded), flow_preds."""
+    flow_final (unpadded), next_flow (padded), flow_preds, delta_flow.
+
+    Live reference branches (ref: idn/idedeq.py:157-210):
+    * ``input_flowmap``: GRU state seeded from a context encoder over the
+      running flow map (from iteration 1, or iteration 0 with a flow_init)
+      instead of zeros
+    * ``deblur=False``: encode the raw voxel each iteration (no warping);
+      then flow_total is *replaced* by delta_flow unless ``add_delta``
+    (co_mode / conr_mode are fully commented out upstream —
+    idedeq.py:126-146 — and intentionally not reproduced.)
+    """
     padder = ImagePadder(cfg.image_dim, min_size=32)
     x_raw = padder.pad(event_bins)
     B, H, W, V = x_raw.shape
@@ -68,16 +85,25 @@ def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
     delta_flow = flow_total
     x_deblur = x_raw
     flow_preds = []
+    delta_flow_hist = [delta_flow]  # ref seeds history with the init flow
     next_flow = None
 
-    for _ in range(deblur_iters):
-        x_deblur = _deblur(x_deblur, delta_flow, mode=deblur_mode)
-        net = jnp.zeros((B, H // DOWNSAMPLE, W // DOWNSAMPLE, HIDDEN_DIM),
-                        x_raw.dtype)
+    for it in range(deblur_iters):
+        if deblur:
+            x_deblur = _deblur(x_deblur, delta_flow, mode=deblur_mode)
+            src = x_deblur
+        else:
+            src = x_raw
+        if input_flowmap and (flow_init is not None or it >= 1):
+            net = E.lite_encoder(params["cnet"], flow_total,
+                                 stage_strides=(2, 2))
+        else:
+            net = jnp.zeros((B, H // DOWNSAMPLE, W // DOWNSAMPLE, HIDDEN_DIM),
+                            x_raw.dtype)
         # fold per-bin features: slice = (B, H, W, 2) (bin duplicated, ref
         # stacks [x_deblur, x_deblur] on a channel axis — idn/idedeq.py:166)
         for t_idx in range(V):
-            s = x_deblur[..., t_idx:t_idx + 1]
+            s = src[..., t_idx:t_idx + 1]
             f = E.lite_encoder(params["fnet"], jnp.concatenate([s, s], -1),
                                stage_strides=(2, 2))
             net = G.conv_gru(params["update"]["gru"], net, f)
@@ -86,18 +112,23 @@ def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
         up_mask = G.mask_head(params["update"]["mask"], net)
         delta_flow = convex_upsample(dflow, up_mask, factor=DOWNSAMPLE,
                                      flow_scale=8)
+        delta_flow_hist.append(delta_flow)
         if pred_next_flow:
             nflow = G.flow_head(params["update"]["flow_head2"], net)
             up_mask2 = G.mask_head(params["update"]["mask2"], net)
             next_flow = convex_upsample(nflow, up_mask2, factor=DOWNSAMPLE,
                                         flow_scale=8)
-        flow_total = flow_total + delta_flow
+        if deblur or add_delta:
+            flow_total = flow_total + delta_flow
+        else:
+            flow_total = delta_flow
         flow_preds.append(flow_total)
 
     return {
         "flow_final": padder.unpad(flow_total),
         "next_flow": next_flow,
         "flow_preds": flow_preds,
+        "delta_flow": delta_flow_hist,
     }
 
 
