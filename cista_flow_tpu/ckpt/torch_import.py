@@ -140,6 +140,12 @@ def eraft_params(sd: dict, prefix: str = ""):
     return p, s
 
 
+def raft_params(sd: dict, prefix: str = ""):
+    """Vanilla RAFT (ref: DCEIFlow/RAFT.py:53-57) — identical torch module
+    layout to E-RAFT (fnet/cnet/update_block.{encoder,gru,flow_head,mask})."""
+    return eraft_params(sd, prefix)
+
+
 def dceiflow_params(sd: dict, prefix: str = ""):
     """Full DCEIFlow (ref: DCEIFlow/DCEIFlow.py:49-88). Returns (params, bn_state)."""
     g = lambda k: f"{prefix}{k}"
@@ -307,6 +313,11 @@ def eraft_export(p, s, prefix="") -> dict:
     _export_flow_head(out, f"{u}.flow_head", p["update"]["flow_head"])
     _export_seq_mask(out, f"{u}.mask", p["update"]["mask"])
     return out
+
+
+def raft_export(p, s, prefix="") -> dict:
+    """Vanilla RAFT export — same torch layout as E-RAFT."""
+    return eraft_export(p, s, prefix)
 
 
 def dceiflow_export(p, s, prefix="") -> dict:

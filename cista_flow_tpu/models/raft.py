@@ -1,10 +1,12 @@
 """Vanilla RAFT: image-pair optical flow (NHWC, functional).
 
 The reference keeps a RAFT model alongside DCEIFlow for comparison
-(ref: DCEIFlow/RAFT.py:28-149, decoder twin ref:
-DCEIFlow/core/decoder/raft_updater.py). Same encoders/correlation machinery
-as ERAFT but fed with two grayscale images; flow upsampled with upflow{ds}
-(the no-mask update block).
+(ref: DCEIFlow/RAFT.py:28-149). Exact surface: RGB image pairs in [0, 255]
+(normalized to [-1, 1] inside), BasicEncoder features (instance norm) ->
+all-pairs correlation pyramid (MXU matmul) -> context encoder (batch norm)
+on image1 -> BasicUpdateBlock iterations (same block as E-RAFT:
+ref: core/decoder/raft_updater.py:125-147) under ``lax.scan`` -> convex
+upsampling per iteration.
 """
 from __future__ import annotations
 
@@ -13,10 +15,9 @@ import jax.numpy as jnp
 
 from ..nn import encoders as E
 from ..nn import gru as G
-from ..ops import conv as C
 from ..ops import corr as CORR
 from ..ops.pad import ImagePadder
-from ..ops.resize import upflow
+from ..ops.upsample import convex_upsample
 
 HDIM = 128
 CDIM = 128
@@ -25,34 +26,30 @@ CORR_RADIUS = 4
 COR_PLANES = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2
 
 
-def _raft_motion_encoder_init(key, cor_planes):
-    """Event-free motion encoder, DCEIFlow flavor (ref: raft_updater.py)."""
-    return G.basic_motion_encoder_init(key, cor_planes)
-
-
 def init(key, cfg):
-    """Image-pair RAFT. cfg needs: ds. Returns (params, bn_state)."""
+    """Image-pair RAFT (ref: RAFT.py:53-57). Returns (params, bn_state)."""
     ks = jax.random.split(key, 3)
     p, s = {}, {}
-    p["fnet"], s["fnet"] = E.basic_encoder_init(ks[0], 1, 256, "instance")
-    p["cnet"], s["cnet"] = E.basic_encoder_init(ks[1], 1, HDIM + CDIM, "batch")
-    ku = jax.random.split(ks[2], 3)
-    p["update"] = {
-        "encoder": _raft_motion_encoder_init(ku[0], COR_PLANES),
-        "gru": G.sep_conv_gru_init(ku[1], HDIM, 128 + HDIM),
-        "flow_head": G.flow_head_init(ku[2], HDIM, 256),
-    }
+    p["fnet"], s["fnet"] = E.basic_encoder_init(ks[0], 3, 256, "instance")
+    p["cnet"], s["cnet"] = E.basic_encoder_init(ks[1], 3, HDIM + CDIM, "batch")
+    p["update"] = G.basic_update_block_init(ks[2], COR_PLANES, HDIM)
     return p, s
 
 
 def apply(params, state, image1, image2, cfg, iters: int = 12,
-          flow_init=None, train: bool = False):
-    """image1/image2: (B, H, W, 1) in [0, 1]."""
-    padder = ImagePadder(cfg.image_dim, min_size=32)
-    im1 = padder.pad(2.0 * image1 - 1.0)
-    im2 = padder.pad(2.0 * image2 - 1.0)
+          flow_init=None, train: bool = False, collect_preds: bool = True):
+    """image1/image2: (B, H, W, 3) RGB in [0, 255] (ref: RAFT.py:89-93).
+
+    Returns the reference dict surface: flow_preds (stacked, padded),
+    flow_init (1/8-res), flow_final (unpadded). The reference runs unpadded
+    (FlyingChairs2 crops are /8-divisible); min_size=8 padding is a no-op
+    there and makes other sizes work.
+    """
+    padder = ImagePadder(image1.shape[1:3], min_size=8)
+    im1 = padder.pad(2.0 * (image1 / 255.0) - 1.0)
+    im2 = padder.pad(2.0 * (image2 / 255.0) - 1.0)
     B, H, W, _ = im1.shape
-    ds = cfg.ds
+    h8, w8 = H // 8, W // 8
 
     fmaps, fstate = E.basic_encoder(
         params["fnet"], state["fnet"],
@@ -65,25 +62,33 @@ def apply(params, state, image1, image2, cfg, iters: int = 12,
     net = jnp.tanh(cnet[..., :HDIM])
     inp = jax.nn.relu(cnet[..., HDIM:])
 
-    coords0 = CORR.coords_grid(B, H // ds, W // ds)
+    coords0 = CORR.coords_grid(B, h8, w8)
     coords1 = coords0 if flow_init is None else coords0 + flow_init
 
-    def step(carry, _):
-        net, coords1 = carry
-        coords1 = jax.lax.stop_gradient(coords1)
-        c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS).astype(net.dtype)
-        flow = (coords1 - coords0).astype(net.dtype)
-        motion = G.basic_motion_encoder(params["update"]["encoder"], flow, c)
-        new_net = G.sep_conv_gru(params["update"]["gru"], net,
-                                 jnp.concatenate([inp, motion], axis=-1))
-        delta = G.flow_head(params["update"]["flow_head"], new_net)
-        coords1 = coords1 + delta
-        return (new_net, coords1), upflow(coords1 - coords0, ds)
+    mask0 = jnp.zeros((B, h8, w8, 64 * 9), im1.dtype)
 
-    (net, coords1), flow_preds = jax.lax.scan(step, (net, coords1), None,
-                                              length=iters)
-    return {
-        "flow_preds": flow_preds,
+    def step(carry, _):
+        net, coords1, _ = carry
+        coords1 = jax.lax.stop_gradient(coords1)
+        c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
+        flow = coords1 - coords0
+        net, mask, delta = G.basic_update_block(params["update"], net, inp,
+                                                c, flow)
+        coords1 = coords1 + delta
+        out = convex_upsample(coords1 - coords0, mask, factor=8) \
+            if collect_preds else ()
+        return (net, coords1, mask), out
+
+    (net, coords1, mask), flow_preds = jax.lax.scan(
+        step, (net, coords1, mask0), None, length=iters)
+    if not collect_preds:
+        flow_preds = convex_upsample(coords1 - coords0, mask, factor=8)[None]
+
+    out = {
+        "flow_preds": flow_preds,           # (iters, B, H_pad, W_pad, 2)
         "flow_init": coords1 - coords0,
         "flow_final": padder.unpad(flow_preds[-1]),
-    }, {"fnet": fstate, "cnet": cstate}
+        "fmap2_gt": None,
+        "fmap2_pseudo": None,
+    }
+    return out, {"fnet": fstate, "cnet": cstate}

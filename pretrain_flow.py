@@ -1,4 +1,4 @@
-"""DCEIFlow pretraining on FlyingChairs2 — the "DCEIFlow (GT I)" stage.
+"""Flow-net pretraining on FlyingChairs2 (DCEIFlow "GT I" stage, or RAFT).
 
 The reference vendors the FlyingChairs2 dataset, augmentors, and the RAFT
 sequence loss for this stage but ships no runnable script (the trained
@@ -27,7 +27,7 @@ from cista_flow_tpu import configs, parallel
 from cista_flow_tpu.ckpt import torch_import as ti
 from cista_flow_tpu.data import FlyingChairs2
 from cista_flow_tpu.losses.flow import flow_sequence_loss
-from cista_flow_tpu.models import dceiflow
+from cista_flow_tpu.models import dceiflow, raft
 from cista_flow_tpu.utils.profiling import StepTimer
 
 
@@ -48,14 +48,21 @@ def make_batches(ds, batch_size, shuffle, rng):
         yield out
 
 
-def make_train_step(cfg, opt, is_bi):
+def make_train_step(cfg, opt, is_bi, flow_arch="dceiflow"):
     def loss_fn(params, state, batch):
-        out, new_state = dceiflow.apply(
-            params, state, batch["event_voxel"],
-            batch["gt_img0"][..., :1], cfg,
-            image2=batch["gt_img1"][..., :1],
-            reversed_event_voxel=batch.get("event_voxel_bw"),
-            iters=cfg.default_flow_iters(), train=True)
+        if flow_arch == "raft":
+            # image-pair RAFT: RGB in [0, 255] (normalized inside the model)
+            out, new_state = raft.apply(
+                params, state, 255.0 * batch["gt_img0"],
+                255.0 * batch["gt_img1"], cfg,
+                iters=cfg.default_flow_iters(), train=True)
+        else:
+            out, new_state = dceiflow.apply(
+                params, state, batch["event_voxel"],
+                batch["gt_img0"][..., :1], cfg,
+                image2=batch["gt_img1"][..., :1],
+                reversed_event_voxel=batch.get("event_voxel_bw"),
+                iters=cfg.default_flow_iters(), train=True)
         target = {"gt_img0": batch["gt_img0"][..., :1],
                   "gt_img1": batch["gt_img1"][..., :1],
                   "gt_flow": batch["gt_flow"],
@@ -83,14 +90,22 @@ def main(cfgs):
                                    "do_flip": True})
     print(f"FlyingChairs2: {len(ds)} training samples")
 
-    params, state = dceiflow.init(jax.random.PRNGKey(cfgs.seed), cfgs)
+    arch = getattr(cfgs, "flow_arch", "dceiflow")
+    if arch == "raft":
+        # keep the model and loss padders both no-ops (raft pads /8, the
+        # sequence loss pads /32)
+        assert cfgs.image_dim[0] % 32 == 0 and cfgs.image_dim[1] % 32 == 0, \
+            "raft pretraining needs a /32-divisible crop"
+        params, state = raft.init(jax.random.PRNGKey(cfgs.seed), cfgs)
+    else:
+        params, state = dceiflow.init(jax.random.PRNGKey(cfgs.seed), cfgs)
     opt = parallel.make_optimizer(cfgs.lr)
     opt_state = opt.init(params)
-    step = make_train_step(cfgs, opt, cfgs.is_bi)
+    step = make_train_step(cfgs, opt, cfgs.is_bi and arch == "dceiflow", arch)
     rng = np.random.default_rng(cfgs.seed)
 
     out_dir = os.path.join(cfgs.path_to_model,
-                           f"dceiflow_b{cfgs.num_bins}")
+                           f"{arch}_b{cfgs.num_bins}")
     os.makedirs(out_dir, exist_ok=True)
 
     for epoch in range(cfgs.epochs):
@@ -109,17 +124,22 @@ def main(cfgs):
 
         import torch
 
-        sd = ti.dceiflow_export(jax.device_get(params), jax.device_get(state))
+        export = ti.raft_export if arch == "raft" else ti.dceiflow_export
+        sd = export(jax.device_get(params), jax.device_get(state))
         sd = {k: torch.from_numpy(np.ascontiguousarray(v))
               for k, v in sd.items()}
-        path = os.path.join(out_dir, f"dceiflow_{epoch + 1}.pth.tar")
+        path = os.path.join(out_dir, f"{arch}_{epoch + 1}.pth.tar")
         torch.save({"epoch": epoch, "model": sd}, path)
         print(f"saved {path}")
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser(description="DCEIFlow pretraining")
+    parser = argparse.ArgumentParser(description="Flow-net pretraining")
     configs.add_args(parser)
-    cfgs = configs.from_args(parser.parse_args())
+    parser.add_argument("--flow_arch", default="dceiflow",
+                        choices=["dceiflow", "raft"])
+    args = parser.parse_args()
+    cfgs = configs.from_args(args)
     cfgs.model_mode = "cista-eiflow"
+    cfgs.flow_arch = args.flow_arch
     main(cfgs)

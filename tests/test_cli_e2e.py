@@ -225,6 +225,23 @@ def test_pretrain_flow_cli(tmp_path):
                                         net.state_dict()[k].numpy()))
     assert changed > 50
 
+    # shared loop, raft arch: /32-divisible crop, raft-layout checkpoint
+    cfg2 = Config(image_dim=(32, 64), model_mode="cista-eiflow",
+                  path_to_train_data=str(root),
+                  path_to_model=str(tmp_path / "models2"),
+                  batch_size=2, epochs=1, flow_iters=1, shuffle=False)
+    cfg2.flow_arch = "raft"
+    pretrain_flow.main(cfg2)
+    ckpt2 = os.path.join(str(tmp_path / "models2"), "raft_b5",
+                         "raft_1.pth.tar")
+    assert os.path.exists(ckpt2)
+    import torch
+
+    from cista_flow_tpu.ckpt import torch_import as ti2
+    sd2 = torch.load(ckpt2, map_location="cpu", weights_only=False)["model"]
+    p2, s2 = ti2.raft_params({k: v.numpy() for k, v in sd2.items()})
+    assert "mask" in p2["update"]
+
 
 def test_train_orbax_exact_resume(tmp_path):
     """--load_epoch_for_train -1 restores params + optimizer moments."""

@@ -70,17 +70,60 @@ def test_efficient_corr_matches_materialized():
                                rtol=1e-3, atol=1e-4)
 
 
-def test_vanilla_raft_runs():
+def test_vanilla_raft_parity():
+    """Vanilla RAFT vs the upstream torch model at equal weights
+    (ref: DCEIFlow/RAFT.py:28-149)."""
+    add_reference_to_path()
+    import sys
+    import types
+
     from cista_flow_tpu.configs import Config
     from cista_flow_tpu.models import raft
 
-    cfg = Config(image_dim=(64, 96))
-    params, state = raft.init(jax.random.PRNGKey(0), cfg)
-    i1 = jnp.asarray(RNG.random((1, 64, 96, 1), dtype=np.float32))
-    i2 = jnp.asarray(RNG.random((1, 64, 96, 1), dtype=np.float32))
-    out, _ = raft.apply(params, state, i1, i2, cfg, iters=2)
-    assert out["flow_final"].shape == (1, 64, 96, 2)
-    assert np.isfinite(np.asarray(out["flow_final"])).all()
+    # RAFT.py uses DCEIFlow-root-relative imports ('from core...'); alias the
+    # DCEIFlow package's submodules under those names and exec the file
+    # directly (putting DCEIFlow/ itself on sys.path would shadow the package
+    # with DCEIFlow/DCEIFlow.py)
+    import importlib
+    import importlib.util
+    for alias, real in {
+            "core.decoder.raft_updater": "DCEIFlow.core.decoder.raft_updater",
+            "core.backbone.raft_encoder": "DCEIFlow.core.backbone.raft_encoder",
+            "core.corr.raft_corr": "DCEIFlow.core.corr.raft_corr",
+            "utils.sample_utils": "DCEIFlow.utils.sample_utils"}.items():
+        sys.modules.setdefault(alias, importlib.import_module(real))
+    spec = importlib.util.spec_from_file_location(
+        "_ref_raft", "/root/reference/DCEIFlow/RAFT.py")
+    raft_ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(raft_ref_mod)
+    RAFT = raft_ref_mod.RAFT
+
+    torch.manual_seed(3)
+    args = types.SimpleNamespace(mixed_precision=False)
+    ref = RAFT(args)
+    ref.eval()
+
+    # /8-divisible (the reference runs unpadded) and big enough that the
+    # coarsest corr level keeps H,W >= 2 (torch's 2y/(H-1)-1 NaNs at 1)
+    H, W = 128, 192
+    i1 = (RNG.random((1, H, W, 3)) * 255).astype(np.float32)
+    i2 = (RNG.random((1, H, W, 3)) * 255).astype(np.float32)
+    tt = lambda x: torch.from_numpy(np.ascontiguousarray(
+        np.transpose(x, (0, 3, 1, 2))))
+    with torch.no_grad():
+        out_t = ref({"image1": tt(i1), "image2": tt(i2)}, iters=3)
+
+    cfg = Config(image_dim=(H, W))
+    params, state = ti.raft_params(ti.from_torch(ref))
+    out, _ = raft.apply(params, state, jnp.asarray(i1), jnp.asarray(i2),
+                        cfg, iters=3)
+    ref_v = np.transpose(out_t["flow_final"].numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out["flow_final"]), ref_v,
+                               rtol=1e-3, atol=1e-3)
+    # round-trip: export -> import reproduces params exactly
+    sd2 = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+           for k, v in ti.raft_export(params, state).items()}
+    ref.load_state_dict(sd2, strict=True)
 
 
 def test_rec_ide_generator():
