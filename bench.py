@@ -32,8 +32,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model = os.environ.get("BENCH_MODEL", "cista-eiflow")
 
-    cfg = Config(model_mode="cista-eiflow", image_dim=(180, 240), dtype=dtype)
+    cfg = Config(model_mode=model, image_dim=(180, 240), dtype=dtype)
     h, w = cfg.image_dim
 
     params, mstate = composite.init(jax.random.PRNGKey(0), cfg)
@@ -50,15 +51,23 @@ def main():
         """Closed-loop recurrence over `chunk` steps, on-device (the
         streaming voxels for the chunk are staged in HBM — a production
         server overlaps the host feed with compute)."""
-        def body(carry, events):
+        def body(carry, xs):
             rec, state = carry
-            batch_data = {"event_voxel": events, "rec_img0": rec}
+            batch_data = {"event_voxel": xs[0], "rec_img0": rec}
+            if model == "cista-eraft":
+                batch_data["event_voxel_old"] = xs[1]
             rec, _, state, _ = composite.apply(params, mstate, batch_data,
                                                state, cfg,
                                                collect_preds=False)
             return (rec, state), rec
 
-        (rec, state), recs = jax.lax.scan(body, (rec0, state), events_seq)
+        xs = (events_seq,)
+        if model == "cista-eraft":
+            # previous-window voxels: the shifted stream (first = zeros)
+            old = jnp.concatenate([jnp.zeros_like(events_seq[:1]),
+                                   events_seq[:-1]], axis=0)
+            xs = (events_seq, old)
+        (rec, state), recs = jax.lax.scan(body, (rec0, state), xs)
         return rec, state, recs
 
     rng = np.random.default_rng(0)
@@ -85,7 +94,8 @@ def main():
 
     fps = steps * chunk * batch / dt
     print(json.dumps({
-        "metric": "e2e_recon_frames_per_sec_180x240_cista_eiflow",
+        "metric": "e2e_recon_frames_per_sec_180x240_"
+                  + model.replace("-", "_"),
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
