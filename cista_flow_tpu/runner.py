@@ -71,6 +71,19 @@ class Reconstructor:
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, self.params)
 
+        # multi-chip serving: --mesh_shape N --mesh_axes spatial shards the
+        # streaming step's activations over H (single-stream latency
+        # parallelism; XLA GSPMD inserts the conv halo exchanges). The
+        # TPU-native upgrade of the reference's 2-GPU model split
+        # (ref: e2v/e2v_model.py:312-346) on the serving side.
+        self.mesh = None
+        if str(cfgs.mesh_shape) != "1":
+            from . import parallel
+            self.mesh = parallel.mesh_from_config(cfgs)
+            self.params = parallel.replicate_tree(self.params, self.mesh)
+            self.model_state = parallel.replicate_tree(self.model_state,
+                                                       self.mesh)
+
         self.iters = cfgs.default_flow_iters()
         self._step = self._build_step()
         self.reset()
@@ -79,9 +92,20 @@ class Reconstructor:
     def _build_step(self):
         cfg = self.cfgs
         mode = self.model_mode
+        mesh = self.mesh
+
+        def constrain(x):
+            if mesh is None or "spatial" not in mesh.axis_names or x.ndim != 4:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, "spatial", None, None)))
 
         def step(params, mstate, state, events, rec_img0, extra, gt_flow,
                  use_gt_flow):
+            events = constrain(events)
+            rec_img0 = constrain(rec_img0)
+            extra = constrain(extra)
             batch = {"event_voxel": events, "rec_img0": rec_img0}
             batch_gt = {}
             if use_gt_flow:

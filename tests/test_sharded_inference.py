@@ -47,3 +47,28 @@ def test_sharded_inference_matches_single_device():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(flowN), np.asarray(flow1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_sharded_serving_matches_unsharded():
+    """Reconstructor with --mesh_shape 2 --mesh_axes spatial (single-stream
+    latency parallelism over H) reproduces the unsharded outputs."""
+    from cista_flow_tpu.runner import Reconstructor
+
+    rng = np.random.default_rng(1)
+    kw = dict(image_dim=(64, 96), model_mode="cista-eraft", flow_iters=1,
+              seed=7)
+    r1 = Reconstructor(Config(**kw))
+    r2 = Reconstructor(Config(mesh_shape="2", mesh_axes="spatial", **kw))
+    assert r2.mesh is not None
+
+    # spatial sharding splits the instance-norm reduction dims, so summation
+    # order changes; on step 0 the all-zero event_voxel_old makes the norm
+    # degenerate (documented chaos amplifier) and the flow drifts ~1e-2 —
+    # afterwards both outputs track to float precision
+    for i in range(3):  # recurrent state stays consistent across steps
+        voxel = rng.standard_normal((5, 64, 96)).astype(np.float32)
+        rec1, flow1 = r1.step(voxel)
+        rec2, flow2 = r2.step(voxel)
+        np.testing.assert_allclose(rec2, rec1, rtol=1e-4, atol=1e-6)
+        if i > 0:
+            np.testing.assert_allclose(flow2, flow1, rtol=1e-3, atol=1e-4)
