@@ -106,7 +106,7 @@ def evaluate_sequences(cfgs):
             w = csv.writer(f, delimiter="\t")
             w.writerow(["Dataset"] + metric_keys + ["N_frames"])
             w.writerows(all_seq_results)
-    return all_seq_results
+    return all_seq_results, metric_keys
 
 
 if __name__ == "__main__":

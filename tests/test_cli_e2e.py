@@ -67,7 +67,7 @@ def test_eval_cli_with_flow(tmp_path, capsys):
                  output_folder=str(tmp_path / "out"),
                  test_data_mode="upsampled", flow_iters=1,
                  is_write_flow=True)
-    results = evaluate_sequences(cfg)
+    results, keys = evaluate_sequences(cfg)
     out = capsys.readouterr().out
     assert "Average results" in out
     assert results[-1][0] == "mean"
@@ -92,10 +92,34 @@ def test_eval_cli_wo_flow(tmp_path):
                  output_folder=str(tmp_path / "out"),
                  test_data_mode="real", num_events=800,
                  dataset="ECD", flow_iters=1)
-    results = evaluate_sequences(cfg)
+    results, keys = evaluate_sequences(cfg)
     assert results[-1][0] == "mean"
     # FWL present in metrics row (last metric before N_frames)
-    assert len(results[0]) >= 5
+    assert keys[-1] == "FWL" and len(results[0]) >= 5
+
+
+def test_eval_harness_quality_gate(tmp_path):
+    """--save_targets then re-run gates PASS; perturbed target gates FAIL."""
+    import json
+
+    import eval_harness
+
+    root = tmp_path / "data" / "seq0"
+    make_sequence_folder(str(root), n_frames=8, n_events=500)
+    targets = str(tmp_path / "targets.json")
+    base = ["--harness_mode", "wo_flow", "--dataset", "ECD",
+            "--image_dim", str(H), str(W), "--model_mode", "cista-idnet",
+            "--path_to_test_data", str(tmp_path / "data"),
+            "-o", str(tmp_path / "out"), "--test_data_mode", "real",
+            "--num_events", "800", "--flow_iters", "1",
+            "--no_write_image", "--targets", targets]
+    assert eval_harness.main(base + ["--save_targets"]) == 0
+    assert eval_harness.main(base) == 0  # deterministic re-run passes
+
+    t = json.load(open(targets))
+    t["psnr"] *= 1.10  # 10% off > 1% tolerance
+    json.dump(t, open(targets, "w"))
+    assert eval_harness.main(base) == 1
 
 
 def test_train_cli_two_epochs(tmp_path):

@@ -158,6 +158,6 @@ def test_mvsec_cli_e2e(tmp_path, small_valid_range):
                  path_to_test_data=str(tmp_path / "data"),
                  output_folder=str(tmp_path / "out"),
                  num_events=150, test_img_num=8, flow_iters=1)
-    results = mvsec_cli.evaluate(cfg, dataset_factory=factory)
+    results, keys = mvsec_cli.evaluate(cfg, dataset_factory=factory)
     assert results[-1][0] == "mean"
     assert np.isfinite(np.asarray(results[0][1:-1], dtype=float)).all()
