@@ -54,6 +54,36 @@ def test_grid_sample(align, padding_mode):
     np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_grid_sample_randomized_sweep():
+    """Randomized shapes x modes x grid scales vs torch — catches fold/clamp
+    geometry edge cases the fixed-size test can miss (1-pixel dims, grids far
+    outside [-1, 1], exactly-on-edge coords)."""
+    rng = np.random.default_rng(123)
+    for case in range(24):
+        B = int(rng.integers(1, 3))
+        H = int(rng.integers(1, 13))
+        W = int(rng.integers(1, 13))
+        C = int(rng.integers(1, 5))
+        Hg = int(rng.integers(1, 9))
+        Wg = int(rng.integers(1, 9))
+        align = bool(rng.integers(0, 2))
+        pad = ["zeros", "border", "reflection"][int(rng.integers(0, 3))]
+        scale = [0.5, 1.0, 3.0][case % 3]
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        grid = (rng.standard_normal((B, Hg, Wg, 2)) * scale).astype(np.float32)
+        # sprinkle exactly-on-edge and integer-coordinate samples
+        grid.flat[:: max(grid.size // 7, 1)] = 1.0
+        grid.flat[1:: max(grid.size // 5, 1)] = -1.0
+        ref = F.grid_sample(nchw(x), torch.from_numpy(grid), mode="bilinear",
+                            align_corners=align, padding_mode=pad)
+        got = ops.grid_sample(jnp.asarray(x), jnp.asarray(grid),
+                              align_corners=align, padding_mode=pad)
+        np.testing.assert_allclose(
+            np.asarray(got), to_nhwc(ref), rtol=1e-4, atol=1e-5,
+            err_msg=f"case={case} B{B} H{H} W{W} C{C} g{Hg}x{Wg} "
+                    f"align={align} pad={pad} scale={scale}")
+
+
 @pytest.mark.parametrize("mode", ["forward", "backward"])
 def test_frame_warp_matches_reference(mode):
     """Pin the reference's peculiar 2*(x/W - 0.5) normalization."""
