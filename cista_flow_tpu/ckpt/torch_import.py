@@ -352,6 +352,12 @@ def idnet_export(p, prefix="") -> dict:
     if "flow_head2" in p["update"]:
         _export_flow_head(out, f"{u}.flow_head2", p["update"]["flow_head2"])
         _export_seq_mask(out, f"{u}.mask2", p["update"]["mask2"])
+    if "cnet" in p:  # input_flowmap mode (ref: idn/idedeq.py:42-46)
+        _put_conv(out, prefix + "cnet.conv1", p["cnet"]["conv1"])
+        for i in (1, 2):
+            for j, suf in ((0, "a"), (1, "b")):
+                _export_residual_block(out, f"{prefix}cnet.layer{i}.{j}",
+                                       p["cnet"][f"layer{i}{suf}"], {}, "none")
     return out
 
 

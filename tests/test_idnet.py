@@ -90,6 +90,11 @@ def test_idnet_input_flowmap_no_deblur_parity():
         ref_v = np.transpose(ref[key].numpy(), (0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(out[key]), ref_v,
                                    rtol=1e-3, atol=2e-3, err_msg=key)
+    # export round-trip includes cnet: strict=True into the upstream model
+    sd_out = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+              for k, v in ti.idnet_export(params).items()}
+    net.load_state_dict(sd_out, strict=True)
+
     # delta_flow history surface: init + one per iteration
     assert len(out["delta_flow"]) == 3
     ref_d = ref["delta_flow"].numpy()  # (B, iters+1, 2, H, W)
