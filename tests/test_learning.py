@@ -46,6 +46,47 @@ def synth_sequence(rng, t_len, batch, shift=2):
 
 
 @pytest.mark.slow
+def test_training_improves_flow():
+    """Phase-1 training (train flow, freeze rec, GT flow to CISTA) lowers
+    held-out flow EPE on constant-translation synthetic data."""
+    from cista_flow_tpu.models import dceiflow
+
+    rng = np.random.default_rng(1)
+    cfg = Config(image_dim=(H, W), model_mode="cista-eiflow", len_sequence=3,
+                 flow_iters=2)
+    params, mstate = composite.init(jax.random.PRNGKey(1), cfg)
+    opt = parallel.make_optimizer(3e-4)
+    opt_state = opt.init(params)
+
+    train_seq = synth_sequence(rng, 3, 2)
+    eval_seq = synth_sequence(np.random.default_rng(98), 3, 1)
+
+    def eval_epe(params, mstate):
+        vals = []
+        for t in range(3):
+            out, _ = dceiflow.apply(
+                params["flow"], mstate["flow"], eval_seq["event_voxel"][t],
+                eval_seq["gt_img0"][t], cfg, iters=2)
+            epe = jnp.linalg.norm(
+                out["flow_final"] - eval_seq["gt_flow"][t], axis=-1)
+            vals.append(float(jnp.mean(epe)))
+        return np.mean(vals)
+
+    before = eval_epe(params, mstate)
+    step = parallel.make_train_step(cfg, opt, loss_mode="flow",
+                                    fix_net_name="rec", use_gt_flow=True,
+                                    donate=False)
+    for _ in range(30):
+        params, mstate, opt_state, loss = step(params, mstate, opt_state,
+                                               train_seq)
+    after = eval_epe(params, mstate)
+    assert np.isfinite(after)
+    # the frozen CISTA subtree must be untouched
+    assert after < before * 0.7, (before, after)
+    print(f"EPE before {before:.3f} px -> after {after:.3f} px")
+
+
+@pytest.mark.slow
 def test_training_improves_reconstruction():
     rng = np.random.default_rng(0)
     cfg = Config(image_dim=(H, W), model_mode="cista-gtflow", len_sequence=3)
