@@ -26,13 +26,14 @@ def validity_mask(gt_img0, gt_img1, gt_flow, warp_mode="forward"):
 
 def _seq_loss(flow_preds, flow_gt, gt_img0, gt_img1, valid_original,
               warp_mode):
-    """flow_preds: (iters, B, H, W, 2) at the same (padded) resolution as
-    flow_gt, or lower resolution (rescaled per the reference)."""
-    n = flow_preds.shape[0]
+    """flow_preds: (iters, B, H, W, 2) stacked array (dceiflow/eraft) or a
+    list of (B, H, W, 2) (idnet), at the same (padded) resolution as
+    flow_gt or lower (rescaled per the reference)."""
+    n = len(flow_preds)
     mag = jnp.sqrt(jnp.sum(flow_gt**2, axis=-1, keepdims=True))
     valid = valid_original * (mag < MAX_FLOW).astype(flow_gt.dtype)
 
-    same_res = flow_preds.shape[2:4] == flow_gt.shape[1:3]
+    same_res = tuple(flow_preds[0].shape[1:3]) == tuple(flow_gt.shape[1:3])
     loss = 0.0
     for i in range(n):
         w = GAMMA ** (n - i - 1)

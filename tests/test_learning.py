@@ -46,13 +46,16 @@ def synth_sequence(rng, t_len, batch, shift=2):
 
 
 @pytest.mark.slow
-def test_training_improves_flow():
+@pytest.mark.parametrize("mode", ["cista-eiflow", "cista-eraft",
+                                  "cista-idnet"])
+def test_training_improves_flow(mode):
     """Phase-1 training (train flow, freeze rec, GT flow to CISTA) lowers
-    held-out flow EPE on constant-translation synthetic data."""
-    from cista_flow_tpu.models import dceiflow
+    held-out flow EPE on constant-translation synthetic data — for every
+    flow family."""
+    from cista_flow_tpu.models import dceiflow, eraft, idnet
 
     rng = np.random.default_rng(1)
-    cfg = Config(image_dim=(H, W), model_mode="cista-eiflow", len_sequence=3,
+    cfg = Config(image_dim=(H, W), model_mode=mode, len_sequence=3,
                  flow_iters=2)
     params, mstate = composite.init(jax.random.PRNGKey(1), cfg)
     opt = parallel.make_optimizer(3e-4)
@@ -60,13 +63,28 @@ def test_training_improves_flow():
 
     train_seq = synth_sequence(rng, 3, 2)
     eval_seq = synth_sequence(np.random.default_rng(98), 3, 1)
+    if mode == "cista-eraft":
+        for seq in (train_seq, eval_seq):
+            old = jnp.concatenate([jnp.zeros_like(seq["event_voxel"][:1]),
+                                   seq["event_voxel"][:-1]], axis=0)
+            seq["event_voxel_old"] = old
 
     def eval_epe(params, mstate):
         vals = []
         for t in range(3):
-            out, _ = dceiflow.apply(
-                params["flow"], mstate["flow"], eval_seq["event_voxel"][t],
-                eval_seq["gt_img0"][t], cfg, iters=2)
+            if mode == "cista-eiflow":
+                out, _ = dceiflow.apply(
+                    params["flow"], mstate["flow"],
+                    eval_seq["event_voxel"][t], eval_seq["gt_img0"][t], cfg,
+                    iters=2)
+            elif mode == "cista-eraft":
+                out, _ = eraft.apply(
+                    params["flow"], mstate["flow"],
+                    eval_seq["event_voxel_old"][t],
+                    eval_seq["event_voxel"][t], cfg, iters=2)
+            else:
+                out = idnet.apply(params["flow"], eval_seq["event_voxel"][t],
+                                  cfg)
             epe = jnp.linalg.norm(
                 out["flow_final"] - eval_seq["gt_flow"][t], axis=-1)
             vals.append(float(jnp.mean(epe)))
