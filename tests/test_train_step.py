@@ -174,6 +174,24 @@ def test_bf16_train_step_runs_and_converges():
     assert params["cista"]["We"]["w"].dtype == jnp.float32
 
 
+@pytest.mark.parametrize("loss_mode,fix", [("rec", "flow"), ("both", None)])
+def test_idnet_training_step(loss_mode, fix):
+    """cista-idnet through every phase's loss (its flow_preds is a Python
+    list, a different code path than the stacked-array flow nets)."""
+    rng = np.random.default_rng(8)
+    icfg = Config(image_dim=(32, 48), model_mode="cista-idnet",
+                  len_sequence=2, flow_iters=1)
+    params, mstate = composite.init(jax.random.PRNGKey(8), icfg)
+    opt = parallel.make_optimizer(1e-4)
+    opt_state = opt.init(params)
+    seq = make_seq(rng, 2, 1, 32, 48, 5)
+    step = parallel.make_train_step(icfg, opt, loss_mode=loss_mode,
+                                    fix_net_name=fix, use_gt_flow=False,
+                                    donate=False)
+    _, _, _, loss = step(params, mstate, opt_state, seq)
+    assert np.isfinite(float(loss))
+
+
 def test_bilateral_training_step():
     """is_bi + reversed events: bidirectional flow loss path end-to-end."""
     rng = np.random.default_rng(6)
