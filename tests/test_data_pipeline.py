@@ -204,3 +204,42 @@ def test_device_prefetch():
         np.testing.assert_array_equal(np.asarray(o["a"]), items[i]["a"])
     # empty iterator
     assert list(device_prefetch(iter([]), size=2)) == []
+
+
+def test_fixed_size_reader_k_shift_matches_reference(tmp_path):
+    """Sliding-window overlap mode vs the upstream reader, window by window."""
+    import sys
+
+    from conftest import add_reference_to_path
+    from cista_flow_tpu.data.event_readers import FixedSizeEventReader
+
+    add_reference_to_path()
+    from data_readers.event_readers import FixedSizeEventReader as RefReader
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    t = np.sort(rng.random(n))
+    ev = np.stack([t, rng.integers(0, 64, n), rng.integers(0, 48, n),
+                   rng.integers(0, 2, n)], axis=1)
+    path = str(tmp_path / "events.txt")
+    np.savetxt(path, ev, fmt="%.6f %d %d %d")
+
+    for k_shift in (-1, 100, 300):
+        mine = FixedSizeEventReader(path, num_events=500, k_shift=k_shift)
+        ref = RefReader(path, num_events=500, k_shift=k_shift)
+        for i in range(4):
+            try:
+                a = next(mine)
+            except StopIteration:
+                a = None
+            try:
+                b = np.asarray(next(ref))
+                if len(b) == 0:
+                    b = None
+            except StopIteration:
+                b = None
+            if b is None:
+                assert a is None or len(a) == 0
+                break
+            np.testing.assert_allclose(np.asarray(a), b,
+                                       err_msg=f"k_shift={k_shift} win={i}")
