@@ -212,7 +212,14 @@ class StackedSequenceLoader:
         # per-host batches are assembled into one global array by
         # parallel.shard_seq_batch (jax.make_array_from_process_local_data)
         if process_count > 1:
-            self.chunks = self.chunks[process_index::process_count]
+            shard = self.chunks[process_index::process_count]
+            # All hosts MUST yield the same number of batches per epoch —
+            # an uneven round-robin split (len(chunks) % process_count != 0)
+            # would leave one host running an extra collective step and
+            # deadlock the jitted train step. Truncate every shard to the
+            # common minimum batch count.
+            n_batches = (len(self.chunks) // process_count) // batch_size
+            self.chunks = shard[:n_batches * batch_size]
 
     def __len__(self):
         return len(self.chunks) // self.batch_size

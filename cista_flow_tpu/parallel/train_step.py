@@ -103,7 +103,13 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
                 lambda x: x.astype(jnp.bfloat16), state0)
         rec0 = jnp.zeros((batch, h, w, 1), seq["event_voxel"].dtype)
 
-        consis_flags = jnp.arange(t_len) >= 2  # ref: train.py:212
+        # ref: train.py:210-217 — the consistency term exists only on the
+        # train-rec alternation (loss_mode 'rec'), from s >= 2; the 'both'
+        # mode (phase-3 train-flow half) runs with is_loss_consis=False.
+        if loss_mode == "rec":
+            consis_flags = jnp.arange(t_len) >= 2
+        else:
+            consis_flags = jnp.zeros(t_len, bool)
 
         def body(carry, xs):
             state, rec_prev, mstate = carry

@@ -32,6 +32,20 @@ def add_reference_to_path():
     # train/test_with_flow/... which must not shadow this repo's CLIs.
     if REFERENCE_ROOT not in sys.path:
         sys.path.append(REFERENCE_ROOT)
+    # pandas >= 2.2 removed read_csv(delim_whitespace=...), which the
+    # reference's event readers use; translate to sep=r"\s+".
+    import pandas as _pd
+
+    if not getattr(_pd.read_csv, "_delim_ws_shim", False):
+        _orig_read_csv = _pd.read_csv
+
+        def _read_csv(*a, **kw):
+            if kw.pop("delim_whitespace", False):
+                kw.setdefault("sep", r"\s+")
+            return _orig_read_csv(*a, **kw)
+
+        _read_csv._delim_ws_shim = True
+        _pd.read_csv = _read_csv
     if "omegaconf" not in sys.modules:
         import types
 

@@ -142,8 +142,9 @@ def test_train_dataset_and_stacked_loader(tmp_path):
 
 
 def test_loader_process_sharding(tmp_path):
-    """Multi-host loading: per-process loaders cover disjoint chunk subsets
-    whose union is the single-process chunk list."""
+    """Multi-host loading: per-process loaders read disjoint chunk subsets of
+    the single-process chunk list AND yield the SAME number of batches per
+    epoch (uneven shards would deadlock the jitted step on one host)."""
     root = str(tmp_path / "train")
     os.makedirs(root, exist_ok=True)
     txt = make_train_txt(root, n_videos=3, frames_per_video=6)
@@ -152,13 +153,16 @@ def test_loader_process_sharding(tmp_path):
     ds = TrainSequenceDataset(txt, cfg)
     full = StackedSequenceLoader(ds, batch_size=1, len_sequence=5,
                                  shuffle=False, num_workers=0)
+    assert len(full.chunks) == 3  # odd count: forces the uneven-split case
     parts = [StackedSequenceLoader(ds, batch_size=1, len_sequence=5,
                                    shuffle=False, num_workers=0,
                                    process_index=i, process_count=2)
              for i in range(2)]
     key = lambda chunks: {tuple(c) for c in chunks}
-    assert key(parts[0].chunks) | key(parts[1].chunks) == key(full.chunks)
+    # disjoint, subsets of the full list, equal batch counts on every host
     assert key(parts[0].chunks) & key(parts[1].chunks) == set()
+    assert (key(parts[0].chunks) | key(parts[1].chunks)) <= key(full.chunks)
+    assert len(parts[0]) == len(parts[1]) == len(full.chunks) // 2
 
 
 def test_shard_seq_batch_process_local_assembly():

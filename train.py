@@ -45,8 +45,11 @@ def phase_for_epoch(cfgs, epoch: int):
         return "rec", "flow", True, None
     if epoch < cfgs.flow_epoch + cfgs.rec_epoch:
         return "flow", "rec", False, None
+    # phase-3 alternation (ref: train.py:123-129,210-217): the train-rec
+    # half uses loss_mode='rec' (with the s>=2 consistency term); the
+    # train-flow half uses 'both' with the consistency term OFF.
     if (epoch - cfgs.flow_epoch - cfgs.rec_epoch) % 4 >= 2:
-        return "flow", "both", False, 3e-5
+        return "flow", "rec", False, 3e-5
     return "rec", "both", False, 3e-5
 
 
