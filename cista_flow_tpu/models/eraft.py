@@ -65,10 +65,18 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
     # (training-only outputs); the final flow is upsampled once after scan.
     mask0 = jnp.zeros((B, h8, w8, 64 * 9), im1.dtype)
 
+    # serving fast path: the Pallas radix lookup (no grads needed there);
+    # training keeps the autodiff-friendly einsum lookup
+    fast = not train and not collect_preds
+    if fast:
+        from ..ops import pallas_corr as PC
+        pyr_t = PC.pad_pyramid_t(pyr)
+
     def step(carry, _):
         net, coords1, _ = carry
         coords1 = jax.lax.stop_gradient(coords1)
-        c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
+        c = (PC.lookup_corr_pallas(pyr_t, coords1, CORR_RADIUS) if fast
+             else CORR.lookup_corr(pyr, coords1, CORR_RADIUS))
         flow = coords1 - coords0
         net, mask, delta = G.basic_update_block(params["update"], net, inp, c, flow)
         coords1 = coords1 + delta

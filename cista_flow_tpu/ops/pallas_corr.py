@@ -1,0 +1,285 @@
+"""Pallas TPU kernel for the RAFT correlation-pyramid window lookup.
+
+ref: DCEIFlow/core/corr/raft_corr.py:32-54 (the hot kernel this replaces).
+
+Why a kernel: the lookup samples a (2r+1)^2 bilinear window per pixel per
+pyramid level. The round-1 MXU formulation (ops/corr.py:lookup_corr) turns
+it into per-sample (9,h_l)@(h_l,w_l) selection GEMMs — exact, 36x over
+naive gathers, but still MXU-padding-bound at ~19 ms/step of tiny batched
+matmuls at flagship shapes (PERF.md), plus ~50 MB/iteration of selection-
+matrix HBM traffic.
+
+Design: a *radix shift decomposition* on the VPU. All 81 window taps of a
+sample share one fractional offset (fy, fx), so the window factorizes into
+an x-band selection, a y-band selection, and a single 2-tap lerp per axis.
+The per-sample integer band offset u0 is decomposed by radix
+(u0 = 8q + s on the x axis, u0 = 16q + 4a + b on the y axis) and each digit
+is applied as a masked sum of STATICALLY sliced bands with the sample axis
+n on the VPU lane dimension:
+
+    band17[...] = sum_q [q == u0>>3] * slab[8q : 8q+17]      (coarse)
+    band10[...] = sum_s [s == u0&7 ] * band17[s : s+10]      (fine)
+    out9        = band10[0:9] + frac * (band10[1:10] - band10[0:9])
+
+No gathers, no tiny GEMMs — dense per-lane FMAs over a logarithmic number
+of statically-sliced terms. The slab is stored x-major (w, h, n) so the
+larger selection axis rides the free outer dimension; the y stage's coarse
+digit is radix-16 so its slices stay sublane-tile aligned.
+
+Out-of-range taps keep the reference's zeros-padding grid_sample semantics
+exactly: the slab is zero-padded and lookup coords are clamped to
+[-(r+1), size+r], beyond which every tap weight provably multiplies a zero
+(see _clamp).
+
+All four pyramid levels run in ONE pallas_call per GRU iteration.
+Accumulation follows the slab dtype — in bf16 serving this matches the
+einsum path's own intermediate rounding (it casts its selection matrices
+and row products to bf16 too).
+
+Differentiation: serving-only (inference path). Training keeps the
+autodiff-friendly einsum lookup (ops/corr.py); parity between the two is
+pinned by tests/test_pallas_corr.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .corr import CorrPyramid
+
+_WIN = 9          # 2r+1 for r=4 (the only radius the models use)
+_R = 4
+
+
+def _qx(wl: int) -> int:
+    return ((wl + 2 * _R + 2) >> 4) + 1     # x coarse digits (radix 16)
+
+
+def _qy(hl: int) -> int:
+    return ((hl + 2 * _R + 2) >> 4) + 1     # y coarse digits (radix 16)
+
+
+def _wp(wl: int) -> int:
+    return 16 * (_qx(wl) - 1) + 16 + _WIN   # padded x extent
+
+
+def _hp(hl: int) -> int:
+    return 16 * (_qy(hl) - 1) + 16 + _WIN + 1   # padded y extent
+
+
+class PaddedPyramidT(NamedTuple):
+    """Transposed, zero-padded pyramid for the Pallas lookup.
+
+    levels_t[i]: (wp, hp, n_pad) — x-major slab, sample axis last (lanes),
+    both spatial axes zero-padded by 2r+1 low and to the radix extent high.
+    sizes[i]: the true (h_l, w_l).
+    """
+    levels_t: tuple
+    sizes: tuple
+    batch: int
+    h1: int
+    w1: int
+    n: int
+
+
+def _block(n: int) -> int:
+    return 256 if n % 256 == 0 else 128
+
+
+def pad_pyramid_t(pyr: CorrPyramid, radius: int = 4) -> PaddedPyramidT:
+    """One-time (per flow-net call) layout transform of the volume pyramid.
+
+    Slabs stay TRUE-size in HBM — the radix zero-padding (up to ~50x data
+    inflation on the small levels) is materialized in VMEM scratch inside
+    the kernel, so HBM traffic per lookup is the real pyramid only."""
+    assert radius == _R, "kernel is specialized for the models' radius 4"
+    n = pyr.batch * pyr.h1 * pyr.w1
+    bn = _block(max(n, 128))
+    n_pad = -(-n // bn) * bn
+    levels_t, sizes = [], []
+    for level in pyr.levels:
+        _, hl, wl, _ = level.shape
+        x = jnp.transpose(level[..., 0], (2, 1, 0))       # (wl, hl, n)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n)))
+        levels_t.append(x)
+        sizes.append((hl, wl))
+    return PaddedPyramidT(tuple(levels_t), tuple(sizes),
+                          pyr.batch, pyr.h1, pyr.w1, n)
+
+
+def _clamp(c: jnp.ndarray, size: int):
+    """Clamped band offset + fraction. Exact under zeros padding: beyond
+    either clamp bound every window tap indexes outside [0, size-1]
+    (weight * 0), and at the bound the single in-range tap carries weight
+    exactly 0."""
+    c = jnp.clip(c.astype(jnp.float32), -(_R + 1.0), size + float(_R))
+    lo = jnp.floor(c)
+    frac = c - lo
+    u0 = (lo.astype(jnp.int32) - _R) + (2 * _R + 1)       # ∈ [0, size+2r+2]
+    return u0, frac
+
+
+def _onehot(digit: jnp.ndarray, num: int) -> jnp.ndarray:
+    i = jax.lax.broadcasted_iota(jnp.int32, (num, digit.shape[0]), 0)
+    return (i == digit[None, :]).astype(jnp.float32)
+
+
+def _level_masks(cflat: jnp.ndarray, hl: int, wl: int, scale: float,
+                 dtype) -> jnp.ndarray:
+    """Stacked per-sample selection masks, (Qx+8+1+Qy+4+4+1, n_pad).
+
+    Row layout: [x coarse onehot | x fine onehot | fx | y coarse onehot |
+    y mid onehot | y fine onehot | fy]."""
+    ux0, fx = _clamp(cflat[:, 0] * scale, wl)
+    uy0, fy = _clamp(cflat[:, 1] * scale, hl)
+    rows = [
+        _onehot(ux0 >> 4, _qx(wl)),
+        _onehot((ux0 >> 2) & 3, 4),
+        _onehot(ux0 & 3, 4),
+        fx[None, :],
+        _onehot(uy0 >> 4, _qy(hl)),
+        _onehot((uy0 >> 2) & 3, 4),
+        _onehot(uy0 & 3, 4),
+        fy[None, :],
+    ]
+    return jnp.concatenate(rows, axis=0).astype(dtype)
+
+
+def _make_kernel(sizes):
+    nlv = len(sizes)
+
+    def kernel(*refs):
+        slabs = refs[:nlv]
+        masks = refs[nlv:2 * nlv]
+        out_ref = refs[2 * nlv]
+        scratch = refs[2 * nlv + 1:]
+        pad = 2 * _R + 1
+
+        # Zero the padded-slab scratches ONCE; later grid steps only rewrite
+        # the interior, so the zero border persists across steps.
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for i in range(nlv):
+                ps = scratch[3 * i]
+                ps[...] = jnp.zeros_like(ps)
+
+        for i, (hl, wl) in enumerate(sizes):
+            qx, qy = _qx(wl), _qy(hl)
+            m = masks[i]
+            ps, bx, bxy = scratch[3 * i:3 * i + 3]
+            ps[pad:pad + wl, pad:pad + hl, :] = slabs[i][...]
+
+            def msum(terms):
+                acc = terms[0]
+                for t in terms[1:]:
+                    acc = acc + t
+                return acc
+
+            # stage order narrows the LARGE axes first: x-coarse (full slab
+            # read) -> y-coarse (full-x band) -> 4x4 fine digits on narrow
+            # (<=25, <=26) bands -> one 2-tap lerp per axis.
+            # --- x coarse (radix 16): (25, hp, BN) -------------------------
+            o = qx + 9
+            if qx == 1:
+                bx = ps                                   # alias, no copy
+            else:
+                bx[...] = msum([m[q][None, None, :] * ps[16 * q:16 * q + 25]
+                                for q in range(qx)])
+            # --- y coarse (radix 16, tile-aligned): (25, 26, BN) -----------
+            if qy == 1:
+                bxy = bx                                  # alias, no copy
+            else:
+                bxy[...] = msum(
+                    [m[o + q][None, None, :] * bx[:, 16 * q:16 * q + 26, :]
+                     for q in range(qy)])
+            # --- x mid/fine (4x4): (13, 26) -> (10, 26) --------------------
+            b3 = msum([m[qx + a][None, None, :]
+                       * bxy[4 * a:4 * a + 13, 0:26, :]
+                       for a in range(4)])
+            b4 = msum([m[qx + 4 + b][None, None, :] * b3[b:b + 10]
+                       for b in range(4)])
+            # --- y mid/fine (4x4): (10, 13) -> (10, 10) --------------------
+            o += qy
+            b5 = msum([m[o + a][None, None, :] * b4[:, 4 * a:4 * a + 13, :]
+                       for a in range(4)])
+            b6 = msum([m[o + 4 + b][None, None, :] * b5[:, b:b + 10, :]
+                       for b in range(4)])
+            # --- 2-tap lerps ----------------------------------------------
+            fx = m[qx + 8][None, None, :]
+            fy = m[o + 8][None, None, :]
+            b7 = b6[0:9] + fx * (b6[1:10] - b6[0:9])       # (9b, 10, BN)
+            win = (b7[:, 0:9, :]
+                   + fy * (b7[:, 1:10, :] - b7[:, 0:9, :]))  # (9b, 9a, BN)
+            # channel order: x-offset-major (torch meshgrid(dy,dx) quirk —
+            # see ops/corr.py lookup_corr): out[b*9 + a] = win[b, a]
+            base = i * _WIN * _WIN
+            for b in range(_WIN):
+                out_ref[base + b * _WIN:base + (b + 1) * _WIN, :] = win[b]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lookup_all_levels(slabs, masks, interpret: bool):
+    nlv = len(slabs)
+    n_pad = slabs[0].shape[-1]
+    bn = _block(n_pad)
+    dt = slabs[0].dtype
+
+    lv_sizes = tuple((s.shape[1], s.shape[0]) for s in slabs)  # (hl, wl)
+
+    def spec3(shape):
+        return pl.BlockSpec((shape[0], shape[1], bn), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def spec2(shape):
+        return pl.BlockSpec((shape[0], bn), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    scratch = []
+    for (hl, wl) in lv_sizes:
+        hp = _hp(hl)
+        scratch += [
+            pltpu.VMEM((_wp(wl), hp, bn), dt),   # zero-padded slab
+            pltpu.VMEM((25, hp, bn), dt),        # x-coarse band
+            pltpu.VMEM((25, 26, bn), dt),        # xy-coarse band
+        ]
+
+    return pl.pallas_call(
+        _make_kernel(lv_sizes),
+        grid=(n_pad // bn,),
+        in_specs=([spec3(s.shape) for s in slabs]
+                  + [spec2(m.shape) for m in masks]),
+        out_specs=pl.BlockSpec((nlv * _WIN * _WIN, bn), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nlv * _WIN * _WIN, n_pad), dt),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*slabs, *masks)
+
+
+def lookup_corr_pallas(pyr_t: PaddedPyramidT, coords: jnp.ndarray,
+                       radius: int = 4) -> jnp.ndarray:
+    """Drop-in twin of ops.corr.lookup_corr over the padded-transposed
+    pyramid. coords: (B, H1, W1, 2) level-0 pixel coords.
+    Returns (B, H1, W1, num_levels*(2r+1)^2), level-major."""
+    assert radius == _R
+    B, H1, W1, _ = coords.shape
+    n = B * H1 * W1
+    n_pad = pyr_t.levels_t[0].shape[-1]
+    interpret = jax.default_backend() != "tpu"
+    dt = pyr_t.levels_t[0].dtype
+
+    cflat = coords.reshape(n, 2)
+    cflat = jnp.pad(cflat, ((0, n_pad - n), (0, 0)))
+    masks = tuple(
+        _level_masks(cflat, hl, wl, 1.0 / (2.0 ** i), dt)
+        for i, (hl, wl) in enumerate(pyr_t.sizes))
+    out = _lookup_all_levels(tuple(pyr_t.levels_t), masks, interpret)
+    return (jnp.transpose(out[:, :n]).reshape(B, H1, W1, -1)
+            .astype(coords.dtype))
