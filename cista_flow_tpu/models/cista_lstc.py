@@ -61,9 +61,21 @@ def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
     events: (B, H, W, num_bins) voxel grid; prev_image: (B, H, W, 1) warped
     previous reconstruction. Returns (rec_image (B,H,W,1), new_state).
     """
-    x_e = L.conv_layer(params["We"], events, padding=1)
-    x_i = L.conv_layer(params["Wi"], prev_image, padding=1)
-    x1 = jnp.concatenate([x_e, x_i], axis=-1)
+    # We/Wi fused into ONE conv on the concatenated input with a
+    # block-diagonal kernel — exact (reflect padding is per-channel, and the
+    # zero blocks contribute nothing), and one MXU dispatch instead of two
+    # tiny-Cin ones (ref separate heads: e2v/e2v_model.py:69-70)
+    we, wi = params["We"], params["Wi"]
+    bins, half = we["w"].shape[2], we["w"].shape[3]
+    kz = jnp.zeros((3, 3, bins + 1, half), we["w"].dtype)
+    k_head = jnp.concatenate([
+        kz.at[:, :, :bins].set(we["w"]),
+        kz.at[:, :, bins:].set(wi["w"]),
+    ], axis=-1)
+    b_head = jnp.concatenate([we["b"], wi["b"]])
+    x1 = L.conv_layer({"w": k_head, "b": b_head},
+                      jnp.concatenate([events, prev_image], axis=-1),
+                      padding=1)
     x1 = L.conv_layer(params["W0"], x1, stride=2, padding=1)
 
     z, lstc_cell = L.conv_lstc(params["P0"], x1, state.sparse_code, state.lstc_cell)

@@ -101,13 +101,19 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
             image2=batch_gt.get("gt_img1"),
             reversed_event_voxel=batch_data.get("event_voxel_bw"),
             iters=iters, flow_init=batch_data.get("flow_init"),
-            train=train and fix_net_name != "rec",
+            # flow-net BN mode mirrors fix_params: train() when the flow net
+            # is the one being trained (fix='rec'), eval() when frozen
+            # (fix='flow') — ref: e2v/e2v_model.py:122-129
+            train=train and fix_net_name != "flow",
             collect_preds=collect_preds)
     elif cfg.model_mode == "cista-eraft":
         batch_flow, new_model_state["flow"] = eraft.apply(
             flow_params, model_state["flow"],
             batch_data["event_voxel_old"], events, cfg, iters=iters,
-            train=train and fix_net_name != "rec",
+            # flow-net BN mode mirrors fix_params: train() when the flow net
+            # is the one being trained (fix='rec'), eval() when frozen
+            # (fix='flow') — ref: e2v/e2v_model.py:122-129
+            train=train and fix_net_name != "flow",
             collect_preds=collect_preds)
     elif cfg.model_mode == "cista-idnet":
         batch_flow = idnet.apply(flow_params, events, cfg,

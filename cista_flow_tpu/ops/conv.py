@@ -32,11 +32,25 @@ def conv2d(
         padding = (padding, padding)
     ph, pw = padding
 
+    kh, kw, cin_g, cout = w.shape
+    # TPU fast paths (exact — the same MACs regrouped):
+    # * tiny-Cout convs starve the MXU lane dim (<2% MFU for Cout=1); one
+    #   1x1 GEMM to kh*kw*Cout channels + shifted adds is ~6x faster, and
+    #   the 1x1 commutes with padding so only the 9-channel map gets padded.
+    # * stride-2 3x3 convs hit a pathological XLA emitter case (~4% MFU);
+    #   the four 2x2-phase stride-1 convs partition the taps exactly.
+    if groups == 1 and cout <= 4 and cin_g >= 16:
+        return _conv_tapsum(x, w, b, stride, (ph, pw), padding_mode)
+
     if padding_mode == "reflect" and (ph or pw):
         x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
-        pad_cfg = "VALID"
-    else:
-        pad_cfg = ((ph, ph), (pw, pw))
+        ph = pw = 0
+
+    if groups == 1:
+        if (not (ph or pw) and tuple(stride) == (2, 2) and (kh, kw) == (3, 3)
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and cin_g >= 16):
+            return _conv_s2_phases(x, w, b)
 
     # No explicit preferred_element_type: TPU convs accumulate fp32 on the
     # MXU regardless, and requesting f32 output from bf16 operands breaks the
@@ -45,10 +59,74 @@ def conv2d(
         x,
         w.astype(x.dtype),
         window_strides=tuple(stride),
-        padding=pad_cfg,
+        padding=((ph, ph), (pw, pw)),
         dimension_numbers=DIMS,
         feature_group_count=groups,
     )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _conv_tapsum(x: jnp.ndarray, w: jnp.ndarray, b, stride, padding,
+                 padding_mode: str) -> jnp.ndarray:
+    """Conv with Cout<=4 as ONE 1x1 GEMM to kh*kw*Cout channels followed by
+    kh*kw shifted adds.
+
+    The MXU pads Cout to 128 lanes, so a 64->1 conv runs at ~0.5% MFU;
+    batching all taps' channel reductions into a single (.., Cin) @
+    (Cin, kh*kw*Cout) contraction recovers a 9x wider GEMM, and the
+    leftover spatial taps are cheap f32 shifted adds. The 1x1 is pointwise,
+    so it commutes with (reflect or zero) padding — only the kh*kw*Cout-
+    channel map is padded, not the Cin-channel input."""
+    kh, kw, cin, cout = w.shape
+    sy, sx = stride
+    ph, pw = padding
+    # (cin, kh*kw*cout), tap-major
+    wr = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, kh * kw * cout)
+    t = jax.lax.dot_general(
+        x, wr.astype(x.dtype),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)       # (B, H, W, kh*kw*cout)
+    if ph or pw:
+        mode = "reflect" if padding_mode == "reflect" else "constant"
+        t = jnp.pad(t, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode=mode)
+    B, HP, WP, _ = t.shape
+    H = (HP - kh) // sy + 1
+    W = (WP - kw) // sx + 1
+    acc = None
+    for i in range(kh):
+        for j in range(kw):
+            k = (i * kw + j) * cout
+            sl = jax.lax.slice(
+                t, (0, i, j, k),
+                (B, i + (H - 1) * sy + 1, j + (W - 1) * sx + 1, k + cout),
+                (1, sy, sx, 1))
+            acc = sl if acc is None else acc + sl
+    out = acc.astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _conv_s2_phases(x: jnp.ndarray, w: jnp.ndarray, b) -> jnp.ndarray:
+    """VALID stride-2 3x3 conv as four stride-1 phase convolutions.
+
+    XLA's TPU emitter handles this stride-2 case at ~4% MFU; splitting the
+    input into its four 2x2 phases turns it into dense stride-1 convs whose
+    taps partition the original 3x3 exactly (tap (dy,dx) belongs to phase
+    (dy%2, dx%2) at kernel position (dy//2, dx//2))."""
+    B, HP, WP, C = x.shape
+    H, W = (HP - 3) // 2 + 1, (WP - 3) // 2 + 1
+    out = None
+    for py in (0, 1):
+        for px in (0, 1):
+            xp = x[:, py::2, px::2, :]
+            wk = w[py::2, px::2]
+            o = jax.lax.conv_general_dilated(
+                xp, wk.astype(x.dtype), window_strides=(1, 1),
+                padding="VALID", dimension_numbers=DIMS)[:, :H, :W]
+            out = o if out is None else out + o
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

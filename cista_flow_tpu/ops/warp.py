@@ -159,8 +159,11 @@ def sample_pixel_coords(
         # width, so fetch all 4 bilinear corners in ONE row-gather by
         # augmenting the channel dim with x+1 / y+1 / both-shifted copies
         # (bandwidth-cheap, exact — base coords are pre-clamped >= 0 and a
-        # wrong-but-fetched edge slot always carries weight 0).
-        flat = imgf.reshape(B, H * W, C)
+        # wrong-but-fetched edge slot always carries weight 0). The gather
+        # and the augmented copies run in the input's compute dtype (bf16
+        # serving halves the traffic); the corner blend accumulates in f32.
+        gdt = orig_dtype if orig_dtype == jnp.bfloat16 else jnp.float32
+        flat = img.reshape(B, H * W, C).astype(gdt)
         s1 = jnp.concatenate([flat[:, 1:], flat[:, -1:]], axis=1)    # +1 col
         sw = jnp.concatenate([flat[:, W:], flat[:, -W:]], axis=1)    # +1 row
         sw1 = jnp.concatenate([s1[:, W:], s1[:, -W:]], axis=1)       # +both
@@ -168,11 +171,17 @@ def sample_pixel_coords(
 
         xc = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
         yc = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
+        hw = H * W
         lin = (yc * W + xc).reshape(B, -1)
-        g = jax.vmap(lambda a, l: jnp.take(a, l, axis=0))(aug, lin)
+        lin = lin + (jnp.arange(B, dtype=jnp.int32) * hw)[:, None]
+        g = jnp.take(aug.reshape(B * hw, 4 * C), lin.reshape(-1), axis=0)
         g = g.reshape(*gx.shape, 4, C)
-        out = (g[..., 0, :] * w00[..., None] + g[..., 1, :] * w01[..., None]
-               + g[..., 2, :] * w10[..., None] + g[..., 3, :] * w11[..., None])
+        # corner blend: products in the gather dtype, f32 accumulation
+        # (same precision contract as an MXU conv) — fused, so the gathered
+        # corners never materialize in f32
+        wts = jnp.stack([w00, w01, w10, w11], axis=-1).astype(gdt)
+        out = jnp.einsum("...kc,...k->...c", g, wts,
+                         preferred_element_type=jnp.float32)
         return out.astype(orig_dtype)
 
     def corner(xi, yi, w):
