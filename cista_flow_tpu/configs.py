@@ -88,6 +88,7 @@ class Config:
     seed: int = 1234
     orbax_ckpt: bool = False         # also write native orbax checkpoints
     save_every_steps: int = 0        # >0: mid-epoch preemption-safe saves
+    remat: bool = False              # rematerialize BPTT steps (large batch)
 
     # derived / fixed (ref: e2v/e2v_model.py:111)
     scale_factor: float = 0.5
@@ -182,6 +183,7 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--flow_iters", default=None, type=int)
     parser.add_argument("--seed", default=1234, type=int)
     parser.add_argument("--orbax_ckpt", action="store_true")
+    parser.add_argument("--remat", action="store_true")
     parser.add_argument("--save_every_steps", default=0, type=int)
 
 

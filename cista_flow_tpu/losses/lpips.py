@@ -176,3 +176,56 @@ def load_torch_weights(alexnet_path: str | None = None,
             w = sd[f"lin{i}.model.1.weight"]
             params["lins"].append({"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))})
     return params
+
+
+def save_npz(params: dict, path: str) -> None:
+    """Serialize converted LPIPS params to a flat .npz (no torch needed to
+    load). Layout: conv{i}_w / conv{i}_b (HWIO) + lin{i}_w."""
+    flat = {}
+    for i, p in enumerate(params["convs"]):
+        flat[f"conv{i}_w"] = np.asarray(p["w"])
+        if "b" in p:
+            flat[f"conv{i}_b"] = np.asarray(p["b"])
+    for i, p in enumerate(params["lins"]):
+        flat[f"lin{i}_w"] = np.asarray(p["w"])
+    np.savez(path, **flat)
+
+
+def load_npz(path: str) -> dict:
+    """Load params saved by :func:`save_npz`."""
+    flat = np.load(path)
+    params = {"convs": [], "lins": []}
+    n_convs = sum(1 for k in flat.files if k.startswith("conv") and k.endswith("_w"))
+    for i in range(n_convs):
+        p = {"w": jnp.asarray(flat[f"conv{i}_w"])}
+        if f"conv{i}_b" in flat.files:
+            p["b"] = jnp.asarray(flat[f"conv{i}_b"])
+        params["convs"].append(p)
+    n_lins = sum(1 for k in flat.files if k.startswith("lin"))
+    for i in range(n_lins):
+        params["lins"].append({"w": jnp.asarray(flat[f"lin{i}_w"])})
+    return params
+
+
+def load_weights(path: str) -> dict:
+    """Load LPIPS weights from either a converted .npz (preferred; see
+    ``convert_lpips.py``) or a full torch ``lpips.LPIPS`` state_dict."""
+    if path.endswith(".npz"):
+        return load_npz(path)
+    return load_torch_weights(lpips_full_path=path)
+
+
+def params_from_env(env_vars=("CISTA_LPIPS", "CISTA_LPIPS_ALEX",
+                              "CISTA_LPIPS_VGG")) -> dict | None:
+    """Resolve LPIPS weights from the documented env-var handoff (this image
+    has zero egress, so weights must be provided as files; ref default net is
+    'alex': loss.py:307, utils/evaluate.py:51). Returns None when unset."""
+    import os
+    for var in env_vars:
+        path = os.environ.get(var)
+        if path and os.path.exists(path):
+            params = load_weights(path)
+            print(f"Loaded LPIPS weights from {var}={path} "
+                  f"({len(params['convs'])} convs)")
+            return params
+    return None

@@ -67,6 +67,9 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
     fast = not collect_preds
     if fast:
         from ..ops import pallas_corr as PC
+        fast = PC.supported(pyr.levels[0].shape[1], pyr.levels[0].shape[2],
+                            len(pyr.levels))
+    if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 
     def step(carry, _):

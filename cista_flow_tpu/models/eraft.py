@@ -70,6 +70,9 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
     fast = not train and not collect_preds
     if fast:
         from ..ops import pallas_corr as PC
+        fast = PC.supported(pyr.levels[0].shape[1], pyr.levels[0].shape[2],
+                            len(pyr.levels))
+    if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 
     def step(carry, _):

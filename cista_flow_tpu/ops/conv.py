@@ -15,6 +15,9 @@ import jax.numpy as jnp
 
 DIMS = ("NHWC", "HWIO", "NHWC")
 
+import os as _os
+_REFLECT_EDGE = _os.environ.get("CISTA_REFLECT_EDGE", "0") == "1"
+
 
 def conv2d(
     x: jnp.ndarray,
@@ -41,6 +44,18 @@ def conv2d(
     #   the four 2x2-phase stride-1 convs partition the taps exactly.
     if groups == 1 and cout <= 4 and cin_g >= 16:
         return _conv_tapsum(x, w, b, stride, (ph, pw), padding_mode)
+
+    # reflect-padded stride-1 3x3 convs (all CISTA layers) without
+    # materializing the padded tensor: zero-padding fuses into the XLA conv
+    # for free, and the reflect-vs-zero difference lives only on the 1-pixel
+    # border — added back exactly via four strip convolutions. Off by
+    # default: the first (DUS-based) variant measured a net e2e regression;
+    # the lax.pad variant is pending TPU measurement (set
+    # CISTA_REFLECT_EDGE=1 to enable).
+    if (_REFLECT_EDGE and padding_mode == "reflect" and groups == 1
+            and (kh, kw) == (3, 3) and tuple(stride) == (1, 1)
+            and (ph, pw) == (1, 1) and x.shape[1] >= 2 and x.shape[2] >= 2):
+        return _conv_reflect_edge(x, w, b)
 
     if padding_mode == "reflect" and (ph or pw):
         x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
@@ -104,6 +119,63 @@ def _conv_tapsum(x: jnp.ndarray, w: jnp.ndarray, b, stride, padding,
                 (1, sy, sx, 1))
             acc = sl if acc is None else acc + sl
     out = acc.astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _conv_reflect_edge(x: jnp.ndarray, w: jnp.ndarray, b) -> jnp.ndarray:
+    """Reflect-padded SAME 3x3 conv as a zero-padded conv + exact border fix.
+
+    An explicit ``jnp.pad(mode='reflect')`` costs an HBM round trip of the
+    whole activation per conv (~5 ms/step across CISTA's layers, PERF.md);
+    zero padding instead fuses into the convolution. The difference is only
+    where a tap crosses the border: reflect reads row/col 1 (resp. S-2)
+    where zero reads 0. Those contributions are added back with four strip
+    convolutions:
+
+    * top/bottom rows: kernel row 0 (resp. 2) convolved over input row 1
+      (resp. H-2), reflect-padded along W — which also reproduces the
+      corner taps that are out-of-range in BOTH axes (padded corner
+      (-1,-1) = x[1,1] = the reflected-W end of row 1);
+    * left/right cols: kernel col 0 (resp. 2) over input col 1 (resp. W-2),
+      ZERO-padded along H so the doubly-out-of-range corner taps are not
+      counted twice.
+    """
+    B, H, W, C = x.shape
+    cout = w.shape[-1]
+    wd = w.astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, wd, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=DIMS)
+
+    def strip_conv(strip, kern, pad_mode):
+        # strip: (B, L, C); kern: (3, C, cout) -> (B, L, cout)
+        if pad_mode == "reflect":
+            strip = jnp.concatenate(
+                [strip[:, 1:2], strip, strip[:, -2:-1]], axis=1)
+        else:
+            strip = jnp.pad(strip, ((0, 0), (1, 1), (0, 0)))
+        return jax.lax.conv_general_dilated(
+            strip[:, None], kern[None], window_strides=(1, 1),
+            padding="VALID", dimension_numbers=DIMS)[:, 0]
+
+    top = strip_conv(x[:, 1], wd[0], "reflect")
+    bot = strip_conv(x[:, H - 2], wd[2], "reflect")
+    left = strip_conv(x[:, :, 1], wd[:, 0], "zeros")
+    right = strip_conv(x[:, :, W - 2], wd[:, 2], "zeros")
+
+    # place the border strips with interior-padding (dilation) pads — these
+    # fuse into the final adds, unlike dynamic-update-slices which force
+    # full-tensor rewrites (column DUS measured 2x the whole conv cost)
+    zero = jnp.zeros((), out.dtype)
+    rows = jnp.stack([top, bot], axis=1)              # (B, 2, W, cout)
+    rows = jax.lax.pad(rows, zero, ((0, 0, 0), (0, 0, H - 2),
+                                    (0, 0, 0), (0, 0, 0)))
+    cols = jnp.stack([left, right], axis=2)           # (B, H, 2, cout)
+    cols = jax.lax.pad(cols, zero, ((0, 0, 0), (0, 0, 0),
+                                    (0, 0, W - 2), (0, 0, 0)))
+    out = out + rows + cols
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

@@ -91,6 +91,16 @@ def _block(n: int) -> int:
     return 256 if n % 256 == 0 else 128
 
 
+def supported(h1: int, w1: int, num_levels: int = 4) -> bool:
+    """Whether the kernel can serve this resolution: every pyramid level
+    must be non-empty (tiny test images bottom out at floor-halved 0-sized
+    levels, which the einsum lookup handles benignly but a 0-extent Pallas
+    block cannot)."""
+    for _ in range(num_levels - 1):
+        h1, w1 = h1 // 2, w1 // 2
+    return h1 >= 1 and w1 >= 1
+
+
 def pad_pyramid_t(pyr: CorrPyramid, radius: int = 4) -> PaddedPyramidT:
     """One-time (per flow-net call) layout transform of the volume pyramid.
 

@@ -55,7 +55,8 @@ def _select_frozen(frozen_key: str, new_tree, old_tree):
 
 def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
                     use_gt_flow: bool, lpips_params=None, mesh=None,
-                    donate: bool = True, spatial_axis: str | None = None) -> Callable:
+                    donate: bool = True, spatial_axis: str | None = None,
+                    remat: bool = False) -> Callable:
     """Build the jitted train step for one phase.
 
     seq batch: dict of (T, B, ...) NHWC arrays with keys
@@ -138,8 +139,13 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
                 lpips_params=lpips_params, is_loss_consis=is_consis)
             return (state, rec, mstate), loss
 
+        # remat: recompute the unroll step's activations in the backward
+        # pass instead of keeping all T steps' intermediates live — trades
+        # ~1/3 more FLOPs for O(T) less live memory, lifting the tunnel's
+        # large-batch BPTT compile ceiling (PERF.md "Training")
+        scan_body = jax.checkpoint(body) if remat else body
         (state, rec, mstate), losses = jax.lax.scan(
-            body, (state0, rec0, model_state), (seq, consis_flags))
+            scan_body, (state0, rec0, model_state), (seq, consis_flags))
         return jnp.sum(losses), mstate
 
     def step(params, model_state, opt_state, seq):

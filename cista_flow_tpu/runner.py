@@ -86,6 +86,7 @@ class Reconstructor:
 
         self.iters = cfgs.default_flow_iters()
         self._step = self._build_step()
+        self._window = self._build_window()
         self.reset()
 
     # ------------------------------------------------------------------
@@ -128,6 +129,59 @@ class Reconstructor:
                                                    use_gt))
         return {True: jit(True), False: jit(False)}
 
+    def _build_window(self):
+        """Device-resident closed-loop recurrence over a whole event window:
+        one ``lax.scan`` replaces T host round-trips (the reference's eval
+        loop syncs every sub-frame, ref: test_with_flow.py:120-156; through
+        this environment's tunnel each sync costs ~30 ms). Numerically
+        identical to T sequential ``step`` calls
+        (tests/test_step_window.py); jit re-specializes per window length."""
+        cfg = self.cfgs
+        mode = self.model_mode
+        mesh = self.mesh
+
+        def constrain(x):
+            if mesh is None or "spatial" not in mesh.axis_names or x.ndim != 4:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, "spatial", None, None)))
+
+        def window(params, mstate, state, rec0, extra, events_seq, gt_flows,
+                   use_gt_flow):
+            def body(carry, xs):
+                state, rec0, extra = carry
+                events, gt_flow = xs
+                events = constrain(events)
+                rec0 = constrain(rec0)
+                extra = constrain(extra)
+                batch = {"event_voxel": events, "rec_img0": rec0}
+                batch_gt = {"gt_flow": gt_flow} if use_gt_flow else {}
+                kwargs = {}
+                if mode == "cista-eraft":
+                    batch["event_voxel_old"] = extra
+                elif mode == "cista-idnet":
+                    kwargs["flow_init"] = extra
+                rec, batch_flow, new_state, _ = composite.apply(
+                    params, mstate, batch, state, cfg, batch_gt=batch_gt,
+                    iters=self.iters, collect_preds=False, **kwargs)
+                if mode == "cista-eraft":
+                    new_extra = events
+                elif mode == "cista-idnet":
+                    new_extra = batch_flow["next_flow"]
+                else:
+                    new_extra = extra
+                return ((new_state, rec, new_extra),
+                        (rec, batch_flow["flow_final"]))
+            (state, rec, extra), (recs, flows) = jax.lax.scan(
+                body, (state, rec0, extra), (events_seq, gt_flows))
+            return recs, flows, state, extra
+
+        jit = lambda use_gt: jax.jit(
+            lambda p, ms, st, r0, ex, ev, gf: window(p, ms, st, r0, ex, ev,
+                                                     gf, use_gt))
+        return {True: jit(True), False: jit(False)}
+
     def reset(self):
         """New sequence: zero state, zero prev frame, clear chaining."""
         h, w = self.image_dim
@@ -168,6 +222,42 @@ class Reconstructor:
         rec_np = np.asarray(rec.astype(jnp.float32))[0, :, :, 0]
         flow_np = np.asarray(flow_final.astype(jnp.float32))[0].transpose(2, 0, 1)
         return rec_np, flow_np
+
+    def step_window(self, voxels_chw: list, gt_flows_chw: list | None = None,
+                    use_gt_flow: bool = False, return_all: bool = False):
+        """T reconstructions in one device dispatch (scan over the window).
+
+        Equivalent to T sequential :meth:`step` calls but with a single host
+        round-trip. Returns the FINAL step's (rec (H,W), flow (2,H,W)) — the
+        only outputs the windowed eval loops consume (ref:
+        test_with_flow.py:120-156 evaluates once per event window) — or, with
+        ``return_all``, every step's (recs (T,H,W), flows (T,2,H,W)).
+        """
+        t = len(voxels_chw)
+        if t == 0:
+            raise ValueError("empty window")
+        h, w = self.image_dim
+        events = jnp.asarray(
+            np.stack([v.transpose(1, 2, 0) for v in voxels_chw])[:, None],
+            self.dtype)
+        if gt_flows_chw is None:
+            gt_flows = jnp.zeros((t, 1, h, w, 2), jnp.float32)
+        else:
+            gt_flows = jnp.asarray(
+                np.stack([f.transpose(1, 2, 0) for f in gt_flows_chw])[:, None],
+                jnp.float32)
+
+        recs, flows, self.state, self.extra = \
+            self._window[bool(use_gt_flow)](
+                self.params, self.model_state, self.state, self.prev_image,
+                self.extra, events, gt_flows)
+        self.prev_image = recs[-1]
+        recs_np = np.asarray(recs.astype(jnp.float32))[:, 0, :, :, 0]
+        flows_np = np.asarray(flows.astype(jnp.float32))[:, 0].transpose(
+            0, 3, 1, 2)
+        if return_all:
+            return recs_np, flows_np
+        return recs_np[-1], flows_np[-1]
 
 
 def discover_sequences(path_to_test_data: str) -> list[str]:

@@ -24,6 +24,7 @@ from cista_flow_tpu import configs
 from cista_flow_tpu.data import EvalWriter, FlowWriter, ImageWriter
 from cista_flow_tpu.data.mvsec import MVSEC_NE, VALID_TIME_INDEX
 from cista_flow_tpu.losses import fwl_metric, recon_evaluate
+from cista_flow_tpu.losses import lpips as lpips_mod
 from cista_flow_tpu.runner import Reconstructor
 
 TEST_DATA_LIST = list(VALID_TIME_INDEX.keys())
@@ -52,6 +53,7 @@ def evaluate(cfgs, dataset_factory=None):
     for testing with small synthetic fixtures."""
     recon = Reconstructor(cfgs)
     seq_paths, seq_names = discover_mvsec(cfgs)
+    lpips_params = lpips_mod.params_from_env()
 
     all_seq_results, whole_mean = [], []
     num_total_frames = 0
@@ -78,6 +80,7 @@ def evaluate(cfgs, dataset_factory=None):
             raw_events_list, batch_gt = ds[batch_idx]
             rec = flow_final = evs = None
 
+            windows = []
             for events, n_e in raw_events_list:
                 num_events_acc += n_e
                 events_acc.append(events)
@@ -86,10 +89,14 @@ def evaluate(cfgs, dataset_factory=None):
                 if cfgs.num_events > 0 and num_events_acc < 0.8 * cfgs.num_events:
                     continue
                 num_events_acc = 0
-                evs = ds.events_to_voxel(np.concatenate(events_acc, axis=0),
-                                         ds.height, ds.width)
+                windows.append(ds.events_to_voxel(
+                    np.concatenate(events_acc, axis=0), ds.height, ds.width))
                 events_acc = []
-                rec, flow_final = recon.step(evs)
+
+            # all completed windows of this batch in one device dispatch
+            if windows:
+                evs = windows[-1]
+                rec, flow_final = recon.step_window(windows)
 
             if num_events_acc != 0 or rec is None:
                 continue
@@ -97,8 +104,8 @@ def evaluate(cfgs, dataset_factory=None):
             gt = batch_gt["gt_img1"][0]  # (H, W)
             rec_j = jnp.asarray(rec)[None, ..., None]
             gt_j = jnp.asarray(gt, jnp.float32)[None, ..., None]
-            rec_metrics = {k: float(v)
-                           for k, v in recon_evaluate(rec_j, gt_j).items()}
+            rec_metrics = {k: float(v) for k, v in
+                           recon_evaluate(rec_j, gt_j, lpips_params).items()}
             evs_j = jnp.asarray(evs.transpose(1, 2, 0))[None]
             flow_j = jnp.asarray(flow_final.transpose(1, 2, 0))[None]
             fwl = float(fwl_metric(evs_j, flow_j))

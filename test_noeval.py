@@ -62,23 +62,38 @@ def run(cfgs):
 
         h, w = cfgs.image_dim
         frame_idx = 0
-        for window in iterator:
-            if frame_idx > cfgs.test_img_num:
+        chunk_len = 8  # frames per device dispatch (scan), amortizes syncs
+        done = False
+        while not done:
+            voxels = []
+            for window in iterator:
+                voxel = events_to_voxel_grid(window, cfgs.num_bins, w, h)
+                voxel = event_preprocess(voxel, filter_hot_pixel=True)
+                if cfgs.dvs == "samsung":
+                    # 180-degree rotation (ref: test_noeval.py:142-143)
+                    voxel = voxel[:, ::-1, ::-1].copy()
+                voxels.append(voxel)
+                if len(voxels) == chunk_len:
+                    break
+            else:
+                done = True
+            if frame_idx + len(voxels) > cfgs.test_img_num + 1:
+                voxels = voxels[:cfgs.test_img_num + 1 - frame_idx]
+                done = True
+            if not voxels:
                 break
-            voxel = events_to_voxel_grid(window, cfgs.num_bins, w, h)
-            voxel = event_preprocess(voxel, filter_hot_pixel=True)
-            if cfgs.dvs == "samsung":
-                # 180-degree rotation (ref: test_noeval.py:142-143)
-                voxel = voxel[:, ::-1, ::-1].copy()
 
-            rec, flow_final = recon.step(voxel)
+            recs, flows = recon.step_window(voxels, return_all=True)
 
-            if frame_idx == 1 or frame_idx % 5 == 0:
-                image_writer(np.uint8(rec * 255.0), frame_idx + 1)
-                event_writer(make_event_preview(voxel, mode="grayscale"),
-                             frame_idx)
-                flow_writer(flow_final, frame_idx)
-            frame_idx += 1
+            for i, (rec, flow_final, voxel) in enumerate(
+                    zip(recs, flows, voxels)):
+                fi = frame_idx + i
+                if fi == 1 or fi % 5 == 0:
+                    image_writer(np.uint8(rec * 255.0), fi + 1)
+                    event_writer(make_event_preview(voxel, mode="grayscale"),
+                                 fi)
+                    flow_writer(flow_final, fi)
+            frame_idx += len(voxels)
 
 
 if __name__ == "__main__":

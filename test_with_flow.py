@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from cista_flow_tpu import configs
 from cista_flow_tpu.data import EvalWriter, FlowWriter, ImageReader, ImageWriter
 from cista_flow_tpu.losses import flow_evaluate, recon_evaluate
+from cista_flow_tpu.losses import lpips as lpips_mod
 from cista_flow_tpu.runner import Reconstructor, discover_sequences
 
 
@@ -29,6 +30,7 @@ def evaluate_sequences(cfgs):
     recon = Reconstructor(cfgs)
     reader = ImageReader(cfgs)
     sequences = discover_sequences(cfgs.path_to_test_data)
+    lpips_params = lpips_mod.params_from_env()
 
     all_seq_results = []
     whole_mean = []
@@ -51,11 +53,15 @@ def evaluate_sequences(cfgs):
         while not reader.ending:
             voxels, frame_pack, gt_frame, flows = \
                 reader.update_event_frame_flow_pack(mode=cfgs.test_data_mode)
-            for i, (evs, gt_prev, gt_flow) in enumerate(
-                    zip(voxels, frame_pack, flows)):
-                gt_next = frame_pack[i + 1] if i < len(frame_pack) - 1 else gt_frame
-                rec, flow_final = recon.step(
-                    evs, gt_flow, use_gt_flow=cfgs.is_gt_flow)
+            # whole window in one device dispatch (lax.scan) instead of one
+            # host sync per sub-frame — the metrics below only read the
+            # final step (matching the reference loop's semantics)
+            n = min(len(voxels), len(frame_pack), len(flows))
+            rec, flow_final = recon.step_window(
+                voxels[:n], flows[:n], use_gt_flow=cfgs.is_gt_flow)
+            gt_prev = frame_pack[n - 1]
+            gt_next = frame_pack[n] if n < len(frame_pack) else gt_frame
+            gt_flow = flows[n - 1]
 
             target = {
                 "gt_img0": jnp.asarray(gt_prev, jnp.float32)[None, ..., None],
@@ -65,7 +71,7 @@ def evaluate_sequences(cfgs):
             }
             rec_j = jnp.asarray(rec)[None, ..., None]
             rec_metrics = {k: float(v) for k, v in recon_evaluate(
-                rec_j, target["gt_img1"]).items()}
+                rec_j, target["gt_img1"], lpips_params).items()}
             flow_j = jnp.asarray(flow_final.transpose(1, 2, 0))[None]
             flow_metrics = {k: float(v) for k, v in flow_evaluate(
                 flow_j, target, cfgs).items()}

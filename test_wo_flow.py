@@ -27,6 +27,7 @@ from cista_flow_tpu.data import (
     make_event_preview,
 )
 from cista_flow_tpu.losses import fwl_metric, recon_evaluate
+from cista_flow_tpu.losses import lpips as lpips_mod
 from cista_flow_tpu.runner import Reconstructor, discover_sequences
 from cista_flow_tpu.utils import normalize_image
 
@@ -35,6 +36,7 @@ def evaluate_sequences(cfgs):
     recon = Reconstructor(cfgs)
     reader = ImageReader(cfgs)
     sequences = discover_sequences(cfgs.path_to_test_data)
+    lpips_params = lpips_mod.params_from_env()
 
     all_seq_results, whole_mean = [], []
     num_total_frames = 0
@@ -57,16 +59,19 @@ def evaluate_sequences(cfgs):
         while not reader.ending:
             voxels, _, gt_frame = reader.update_event_frame_pack_fix(
                 cfgs.num_events, cfgs.test_data_mode)
-            for evs in voxels:
-                rec, flow_final = recon.step(evs)
+            # whole window in one device dispatch (lax.scan); only the final
+            # step's outputs feed the metrics/writers below
+            if voxels:
+                rec, flow_final = recon.step_window(voxels)
+                evs = voxels[-1]
 
             gt = gt_frame
             if cfgs.dataset == "ECD":
                 gt = normalize_image(gt, 0, 100)
             rec_j = jnp.asarray(rec)[None, ..., None]
             gt_j = jnp.asarray(gt, jnp.float32)[None, ..., None]
-            rec_metrics = {k: float(v)
-                           for k, v in recon_evaluate(rec_j, gt_j).items()}
+            rec_metrics = {k: float(v) for k, v in
+                           recon_evaluate(rec_j, gt_j, lpips_params).items()}
             evs_j = jnp.asarray(evs.transpose(1, 2, 0))[None]
             flow_j = jnp.asarray(flow_final.transpose(1, 2, 0))[None]
             fwl = float(fwl_metric(evs_j, flow_j))

@@ -1,0 +1,127 @@
+"""LPIPS weight-converter round-trip: random torch state_dicts (both the
+full ``lpips.LPIPS`` layout and the torchvision-backbone + linear-heads
+layout) -> convert to npz -> JAX forward must equal an in-test torch
+re-implementation of the LPIPS math (ref: utils/evaluate.py:45-68,
+loss.py:307-343; the lpips package itself is not installed in this image).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from cista_flow_tpu.losses import lpips as lpips_mod
+
+# torchvision alexnet.features layout: (module_idx, cout, cin, k, stride, pad)
+_ALEX_CONVS = [(0, 64, 3, 11, 4, 2), (3, 192, 64, 5, 1, 2),
+               (6, 384, 192, 3, 1, 1), (8, 256, 384, 3, 1, 1),
+               (10, 256, 256, 3, 1, 1)]
+# lpips slices the features Sequential keeping original module indices:
+# slice1=[0,1], slice2=[2..4], slice3=[5..7], slice4=[8,9], slice5=[10,11]
+_ALEX_SLICE_OF_IDX = {0: 1, 3: 2, 6: 3, 8: 4, 10: 5}
+_SHIFT = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+_SCALE = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+
+def _random_alex_sd(rng):
+    """Random weights in the two torch layouts lpips ships."""
+    full, backbone, heads = {}, {}, {}
+    for idx, cout, cin, k, _, _ in _ALEX_CONVS:
+        w = torch.tensor(rng.normal(0, 0.1, (cout, cin, k, k)), dtype=torch.float32)
+        b = torch.tensor(rng.normal(0, 0.1, (cout,)), dtype=torch.float32)
+        full[f"net.slice{_ALEX_SLICE_OF_IDX[idx]}.{idx}.weight"] = w
+        full[f"net.slice{_ALEX_SLICE_OF_IDX[idx]}.{idx}.bias"] = b
+        backbone[f"features.{idx}.weight"] = w
+        backbone[f"features.{idx}.bias"] = b
+    for i, (_, cout, _, _, _, _) in enumerate(_ALEX_CONVS):
+        lw = torch.tensor(np.abs(rng.normal(0, 0.05, (1, cout, 1, 1))),
+                          dtype=torch.float32)
+        full[f"lin{i}.model.1.weight"] = lw
+        heads[f"lin{i}.model.1.weight"] = lw
+    return full, backbone, heads
+
+
+def _torch_lpips_alex(sd, x0, x1):
+    """Plain-op torch re-implementation of lpips.LPIPS(net='alex',
+    normalize=True) forward, reading weights from the full state_dict."""
+    def feats(x):
+        x = 2.0 * x - 1.0
+        x = (x - _SHIFT) / _SCALE
+        taps = []
+        for idx, _, _, _, stride, pad in _ALEX_CONVS:
+            sl = _ALEX_SLICE_OF_IDX[idx]
+            x = F.conv2d(x, sd[f"net.slice{sl}.{idx}.weight"],
+                         sd[f"net.slice{sl}.{idx}.bias"],
+                         stride=stride, padding=pad)
+            x = F.relu(x)
+            taps.append(x)
+            if idx in (0, 3):
+                x = F.max_pool2d(x, 3, 2)
+        return taps
+
+    total = 0.0
+    for i, (a, b) in enumerate(zip(feats(x0), feats(x1))):
+        a = a / (torch.sqrt((a * a).sum(1, keepdim=True)) + 1e-10)
+        b = b / (torch.sqrt((b * b).sum(1, keepdim=True)) + 1e-10)
+        d = (a - b) ** 2
+        v = F.conv2d(d, sd[f"lin{i}.model.1.weight"])
+        total = total + v.mean(dim=(1, 2, 3))
+    return total.mean()
+
+
+@pytest.mark.parametrize("layout", ["full", "backbone+heads"])
+def test_convert_roundtrip_matches_torch(tmp_path, layout):
+    rng = np.random.default_rng(0)
+    full, backbone, heads = _random_alex_sd(rng)
+
+    if layout == "full":
+        p = tmp_path / "lpips_full.pth"
+        torch.save(full, p)
+        params = lpips_mod.load_torch_weights(lpips_full_path=str(p))
+    else:
+        pb, ph = tmp_path / "alexnet.pth", tmp_path / "alex_heads.pth"
+        torch.save(backbone, pb)
+        torch.save(heads, ph)
+        params = lpips_mod.load_torch_weights(alexnet_path=str(pb),
+                                              lpips_path=str(ph))
+
+    # npz round trip (what convert_lpips.py emits / the CLIs load)
+    npz = tmp_path / "lpips_alex.npz"
+    lpips_mod.save_npz(params, str(npz))
+    params = lpips_mod.load_npz(str(npz))
+    assert len(params["convs"]) == 5 and len(params["lins"]) == 5
+    assert "b" in params["convs"][0]
+
+    x0 = rng.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32)
+    x1 = rng.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32)
+    got = float(lpips_mod.lpips(params, x0, x1, normalize=True))
+
+    t0 = torch.tensor(np.tile(x0.transpose(0, 3, 1, 2), (1, 3, 1, 1)))
+    t1 = torch.tensor(np.tile(x1.transpose(0, 3, 1, 2), (1, 3, 1, 1)))
+    want = float(_torch_lpips_alex(full, t0, t1))
+    assert got == pytest.approx(want, rel=2e-4, abs=1e-6)
+
+
+def test_load_weights_dispatch(tmp_path, monkeypatch):
+    rng = np.random.default_rng(1)
+    full, _, _ = _random_alex_sd(rng)
+    p = tmp_path / "full.pth"
+    torch.save(full, p)
+    npz = tmp_path / "full.npz"
+    lpips_mod.save_npz(lpips_mod.load_weights(str(p)), str(npz))
+
+    x0 = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+    x1 = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+    a = float(lpips_mod.lpips(lpips_mod.load_weights(str(p)), x0, x1))
+    b = float(lpips_mod.lpips(lpips_mod.load_weights(str(npz)), x0, x1))
+    assert a == pytest.approx(b, rel=1e-6)
+
+    # env-var handoff used by the CLIs
+    monkeypatch.setenv("CISTA_LPIPS", str(npz))
+    params = lpips_mod.params_from_env()
+    assert params is not None and len(params["convs"]) == 5
+    monkeypatch.delenv("CISTA_LPIPS")
+    monkeypatch.delenv("CISTA_LPIPS_ALEX", raising=False)
+    monkeypatch.delenv("CISTA_LPIPS_VGG", raising=False)
+    assert lpips_mod.params_from_env() is None

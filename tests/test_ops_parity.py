@@ -8,6 +8,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from cista_flow_tpu import ops
@@ -225,3 +226,23 @@ def test_convex_upsample_matches_torch_unfold():
 
     got = ops.convex_upsample(jnp.asarray(flow), jnp.asarray(mask), factor=r)
     np.testing.assert_allclose(np.asarray(got), to_nhwc(up), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,cout", [((2, 8, 10, 16), 32), ((1, 2, 2, 8), 8),
+                                        ((2, 5, 3, 4), 6), ((1, 3, 2, 7), 5),
+                                        ((2, 24, 32, 12), 16)])
+def test_conv_reflect_edge_matches_padded(shape, cout):
+    """The zero-pad + border-strip formulation of a reflect-padded SAME 3x3
+    conv must match pad-then-conv exactly (incl. H/W == 2 and corners)."""
+    from cista_flow_tpu.ops import conv as C
+
+    rng = np.random.default_rng(hash((shape, cout)) % 2**31)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, shape[-1], cout)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    fast = C._conv_reflect_edge(x, w, b)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    ref = jax.lax.conv_general_dilated(
+        xp, w, (1, 1), "VALID", dimension_numbers=C.DIMS) + b
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -212,3 +212,24 @@ def test_bilateral_training_step():
                                     donate=False)
     _, _, _, loss = step(params, mstate, opt_state, seq)
     assert np.isfinite(float(loss))
+
+
+def test_remat_matches_no_remat(cfg):
+    """jax.checkpoint over the BPTT body must not change the step's math."""
+    rng = np.random.default_rng(7)
+    params, mstate = composite.init(jax.random.PRNGKey(7), cfg)
+    opt = parallel.make_optimizer(1e-4)
+    opt_state = opt.init(params)
+    seq = make_seq(rng, 3, 2, 32, 48, 5, with_old=True)
+
+    kw = dict(loss_mode="rec", fix_net_name="flow", use_gt_flow=False,
+              donate=False)
+    step_a = parallel.make_train_step(cfg, opt, **kw)
+    step_b = parallel.make_train_step(cfg, opt, remat=True, **kw)
+    pa, _, _, la = step_a(params, mstate, opt_state, seq)
+    pb, _, _, lb = step_b(params, mstate, opt_state, seq)
+    assert float(la) == pytest.approx(float(lb), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

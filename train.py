@@ -160,17 +160,14 @@ class Trainer:
             self.model_state = parallel.replicate_tree(self.model_state, self.mesh)
             self.opt_state = parallel.replicate_tree(self.opt_state, self.mesh)
 
-        # optional LPIPS (vgg) for the training perceptual term
-        self.lpips_params = None
-        lpips_path = os.environ.get("CISTA_LPIPS_VGG")
-        if lpips_path and os.path.exists(lpips_path):
-            from cista_flow_tpu.losses import lpips as lpips_mod
-            self.lpips_params = lpips_mod.load_torch_weights(
-                lpips_full_path=lpips_path)
-            print(f"Loaded LPIPS(vgg) weights from {lpips_path}")
-        else:
-            print("LPIPS weights not provided (set CISTA_LPIPS_VGG); "
-                  "training without the perceptual term.")
+        # optional LPIPS for the training perceptual term (ref default:
+        # net='alex', loss.py:307). Convert weights with convert_lpips.py.
+        from cista_flow_tpu.losses import lpips as lpips_mod
+        self.lpips_params = lpips_mod.params_from_env()
+        if self.lpips_params is None:
+            print("LPIPS weights not provided (set CISTA_LPIPS=<converted "
+                  ".npz>; see convert_lpips.py); training without the "
+                  "perceptual term.")
 
         self._steps = {}
         self.writer = None
@@ -186,7 +183,8 @@ class Trainer:
         if key not in self._steps:
             self._steps[key] = parallel.make_train_step(
                 self.cfgs, self.opt, loss_mode, fix_net_name, use_gt_flow,
-                lpips_params=self.lpips_params, mesh=self.mesh, donate=False)
+                lpips_params=self.lpips_params, mesh=self.mesh, donate=False,
+                remat=self.cfgs.remat)
         return self._steps[key]
 
     def run(self):
