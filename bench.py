@@ -46,20 +46,29 @@ def main():
 
     chunk = int(os.environ.get("BENCH_CHUNK", "10"))
 
+    hp = (h + 31) // 32 * 32
+    wp = (w + 31) // 32 * 32
+
     @jax.jit
-    def run_chunk(params, mstate, events_seq, rec0, state):
+    def run_chunk(params, mstate, events_seq, rec0, state, flow_chain):
         """Closed-loop recurrence over `chunk` steps, on-device (the
         streaming voxels for the chunk are staged in HBM — a production
-        server overlaps the host feed with compute)."""
+        server overlaps the host feed with compute). cista-idnet carries its
+        next_flow chaining exactly like the serving runner."""
         def body(carry, xs):
-            rec, state = carry
+            rec, state, chain = carry
             batch_data = {"event_voxel": xs[0], "rec_img0": rec}
+            kwargs = {}
             if model == "cista-eraft":
                 batch_data["event_voxel_old"] = xs[1]
-            rec, _, state, _ = composite.apply(params, mstate, batch_data,
-                                               state, cfg,
-                                               collect_preds=False)
-            return (rec, state), rec
+            elif model == "cista-idnet":
+                kwargs["flow_init"] = chain
+            rec, batch_flow, state, _ = composite.apply(
+                params, mstate, batch_data, state, cfg,
+                collect_preds=False, **kwargs)
+            if model == "cista-idnet":
+                chain = batch_flow["next_flow"]
+            return (rec, state, chain), rec
 
         xs = (events_seq,)
         if model == "cista-eraft":
@@ -67,8 +76,9 @@ def main():
             old = jnp.concatenate([jnp.zeros_like(events_seq[:1]),
                                    events_seq[:-1]], axis=0)
             xs = (events_seq, old)
-        (rec, state), recs = jax.lax.scan(body, (rec0, state), xs)
-        return rec, state, recs
+        (rec, state, flow_chain), recs = jax.lax.scan(
+            body, (rec0, state, flow_chain), xs)
+        return rec, state, flow_chain, recs
 
     rng = np.random.default_rng(0)
     events_seq = jnp.asarray(
@@ -76,6 +86,7 @@ def main():
     rec = jnp.zeros((batch, h, w, 1), cdt)
     state = jax.tree_util.tree_map(
         lambda x: x.astype(cdt), composite.zero_state(batch, cfg))
+    flow_chain = jnp.zeros((batch, hp, wp, 2), cdt)
 
     def force(x):
         """Honest device sync: a scalar readback. (block_until_ready can
@@ -83,12 +94,14 @@ def main():
         return float(jnp.sum(x.astype(jnp.float32)))
 
     # warmup / compile (incl. the sync reduction)
-    rec_w, state_w, _ = run_chunk(params, mstate, events_seq, rec, state)
+    rec_w, _, _, _ = run_chunk(params, mstate, events_seq, rec, state,
+                               flow_chain)
     force(rec_w)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        rec, state, recs = run_chunk(params, mstate, events_seq, rec, state)
+        rec, state, flow_chain, recs = run_chunk(
+            params, mstate, events_seq, rec, state, flow_chain)
     force(rec)
     dt = time.perf_counter() - t0
 

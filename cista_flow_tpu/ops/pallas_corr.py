@@ -43,6 +43,7 @@ pinned by tests/test_pallas_corr.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -101,21 +102,34 @@ def supported(h1: int, w1: int, num_levels: int = 4) -> bool:
     return h1 >= 1 and w1 >= 1
 
 
+# HBM-resident zero-padded slabs: skips the kernel's per-grid-step interior
+# copy into padded VMEM scratch (sublane-misaligned writes) at the cost of
+# reading the zero borders from HBM (~3.9x slab traffic). Measured toggle.
+_HBM_PAD = _os.environ.get("CISTA_CORR_HBM_PAD", "0") == "1"
+
+
 def pad_pyramid_t(pyr: CorrPyramid, radius: int = 4) -> PaddedPyramidT:
     """One-time (per flow-net call) layout transform of the volume pyramid.
 
-    Slabs stay TRUE-size in HBM — the radix zero-padding (up to ~50x data
-    inflation on the small levels) is materialized in VMEM scratch inside
-    the kernel, so HBM traffic per lookup is the real pyramid only."""
+    Default: slabs stay TRUE-size in HBM — the radix zero-padding (up to
+    ~50x data inflation on the small levels) is materialized in VMEM scratch
+    inside the kernel, so HBM traffic per lookup is the real pyramid only.
+    With CISTA_CORR_HBM_PAD=1 the padded slabs are materialized in HBM once
+    per flow call instead."""
     assert radius == _R, "kernel is specialized for the models' radius 4"
     n = pyr.batch * pyr.h1 * pyr.w1
     bn = _block(max(n, 128))
     n_pad = -(-n // bn) * bn
+    pad = 2 * _R + 1
     levels_t, sizes = [], []
     for level in pyr.levels:
         _, hl, wl, _ = level.shape
         x = jnp.transpose(level[..., 0], (2, 1, 0))       # (wl, hl, n)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n)))
+        if _HBM_PAD:
+            x = jnp.pad(x, ((pad, _wp(wl) - wl - pad),
+                            (pad, _hp(hl) - hl - pad), (0, n_pad - n)))
+        else:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n)))
         levels_t.append(x)
         sizes.append((hl, wl))
     return PaddedPyramidT(tuple(levels_t), tuple(sizes),
@@ -160,7 +174,7 @@ def _level_masks(cflat: jnp.ndarray, hl: int, wl: int, scale: float,
     return jnp.concatenate(rows, axis=0).astype(dtype)
 
 
-def _make_kernel(sizes):
+def _make_kernel(sizes, hbm_pad: bool):
     nlv = len(sizes)
 
     def kernel(*refs):
@@ -169,20 +183,26 @@ def _make_kernel(sizes):
         out_ref = refs[2 * nlv]
         scratch = refs[2 * nlv + 1:]
         pad = 2 * _R + 1
+        ns = 3 - (1 if hbm_pad else 0)
 
         # Zero the padded-slab scratches ONCE; later grid steps only rewrite
         # the interior, so the zero border persists across steps.
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            for i in range(nlv):
-                ps = scratch[3 * i]
-                ps[...] = jnp.zeros_like(ps)
+        if not hbm_pad:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                for i in range(nlv):
+                    ps = scratch[3 * i]
+                    ps[...] = jnp.zeros_like(ps)
 
         for i, (hl, wl) in enumerate(sizes):
             qx, qy = _qx(wl), _qy(hl)
             m = masks[i]
-            ps, bx, bxy = scratch[3 * i:3 * i + 3]
-            ps[pad:pad + wl, pad:pad + hl, :] = slabs[i][...]
+            if hbm_pad:
+                ps = slabs[i]                 # already zero-padded in HBM
+                bx, bxy = scratch[ns * i:ns * i + 2]
+            else:
+                ps, bx, bxy = scratch[3 * i:3 * i + 3]
+                ps[pad:pad + wl, pad:pad + hl, :] = slabs[i][...]
 
             def msum(terms):
                 acc = terms[0]
@@ -234,14 +254,12 @@ def _make_kernel(sizes):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _lookup_all_levels(slabs, masks, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("sizes", "interpret"))
+def _lookup_all_levels(slabs, masks, sizes, interpret: bool):
     nlv = len(slabs)
     n_pad = slabs[0].shape[-1]
     bn = _block(n_pad)
     dt = slabs[0].dtype
-
-    lv_sizes = tuple((s.shape[1], s.shape[0]) for s in slabs)  # (hl, wl)
 
     def spec3(shape):
         return pl.BlockSpec((shape[0], shape[1], bn), lambda i: (0, 0, i),
@@ -252,16 +270,17 @@ def _lookup_all_levels(slabs, masks, interpret: bool):
                             memory_space=pltpu.VMEM)
 
     scratch = []
-    for (hl, wl) in lv_sizes:
+    for (hl, wl) in sizes:
         hp = _hp(hl)
+        if not _HBM_PAD:
+            scratch.append(pltpu.VMEM((_wp(wl), hp, bn), dt))  # padded slab
         scratch += [
-            pltpu.VMEM((_wp(wl), hp, bn), dt),   # zero-padded slab
             pltpu.VMEM((25, hp, bn), dt),        # x-coarse band
             pltpu.VMEM((25, 26, bn), dt),        # xy-coarse band
         ]
 
     return pl.pallas_call(
-        _make_kernel(lv_sizes),
+        _make_kernel(sizes, _HBM_PAD),
         grid=(n_pad // bn,),
         in_specs=([spec3(s.shape) for s in slabs]
                   + [spec2(m.shape) for m in masks]),
@@ -290,6 +309,7 @@ def lookup_corr_pallas(pyr_t: PaddedPyramidT, coords: jnp.ndarray,
     masks = tuple(
         _level_masks(cflat, hl, wl, 1.0 / (2.0 ** i), dt)
         for i, (hl, wl) in enumerate(pyr_t.sizes))
-    out = _lookup_all_levels(tuple(pyr_t.levels_t), masks, interpret)
+    out = _lookup_all_levels(tuple(pyr_t.levels_t), masks, pyr_t.sizes,
+                             interpret)
     return (jnp.transpose(out[:, :n]).reshape(B, H1, W1, -1)
             .astype(coords.dtype))

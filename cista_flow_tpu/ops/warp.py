@@ -164,9 +164,18 @@ def sample_pixel_coords(
         # serving halves the traffic); the corner blend accumulates in f32.
         gdt = orig_dtype if orig_dtype == jnp.bfloat16 else jnp.float32
         flat = img.reshape(B, H * W, C).astype(gdt)
+        hw = H * W
+        # all four shifted copies as direct slices of ``flat`` (no chained
+        # intermediates: one fused write of the augmented buffer instead of
+        # three materialized shift copies + a concat)
         s1 = jnp.concatenate([flat[:, 1:], flat[:, -1:]], axis=1)    # +1 col
         sw = jnp.concatenate([flat[:, W:], flat[:, -W:]], axis=1)    # +1 row
-        sw1 = jnp.concatenate([s1[:, W:], s1[:, -W:]], axis=1)       # +both
+        if H >= 2:
+            sw1 = jnp.concatenate(                                    # +both
+                [flat[:, W + 1:], flat[:, -1:],
+                 flat[:, hw - W + 1:], flat[:, -1:]], axis=1)
+        else:  # degenerate single-row image: +row clamps to the same row
+            sw1 = s1
         aug = jnp.concatenate([flat, s1, sw, sw1], axis=-1)          # (B,HW,4C)
 
         xc = jnp.clip(x0, 0, W - 1).astype(jnp.int32)

@@ -14,6 +14,8 @@ from cista_flow_tpu.ckpt import torch_import as ti
 from cista_flow_tpu.models import composite
 from test_data_pipeline import H, W, make_sequence_folder, make_train_txt
 
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
+
 cv2 = pytest.importorskip("cv2")
 
 

@@ -9,6 +9,8 @@ from conftest import add_reference_to_path
 from cista_flow_tpu.ckpt import torch_import as ti
 from cista_flow_tpu.models import composite
 
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
+
 
 class Cfg:
     image_dim = (100, 172)

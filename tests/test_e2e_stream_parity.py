@@ -10,6 +10,8 @@ from cista_flow_tpu.configs import Config
 from cista_flow_tpu.data import ImageReader
 from cista_flow_tpu.runner import Reconstructor
 
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
+
 cv2 = pytest.importorskip("cv2")
 
 H, W = 128, 160  # coarsest ref pyramid level must be > 1x1 (div-by-zero)

@@ -11,6 +11,8 @@ from cista_flow_tpu.configs import Config
 from cista_flow_tpu.losses import psnr
 from cista_flow_tpu.models import composite
 
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
+
 H, W = 32, 48
 
 

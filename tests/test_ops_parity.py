@@ -55,6 +55,7 @@ def test_grid_sample(align, padding_mode):
     np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grid_sample_randomized_sweep():
     """Randomized shapes x modes x grid scales vs torch — catches fold/clamp
     geometry edge cases the fixed-size test can miss (1-pixel dims, grids far

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 from cista_flow_tpu.ops import corr as CORR
 from cista_flow_tpu.ops import pallas_corr as PC
 
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
+
 
 def _pyramid(rng, B, H1, W1, D=32, dtype=jnp.float32):
     f1 = jnp.asarray(rng.standard_normal((B, H1, W1, D)), dtype)

@@ -1,4 +1,5 @@
 """Fused Pallas ISTA kernel vs the unfused XLA loop (interpret mode on CPU)."""
+import pytest
 import numpy as np
 
 import jax
@@ -6,6 +7,8 @@ import jax.numpy as jnp
 
 from cista_flow_tpu.nn import layers as L
 from cista_flow_tpu.ops import pallas_ista
+
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
 
 
 def test_fused_ista_matches_loop():

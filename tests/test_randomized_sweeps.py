@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from cista_flow_tpu import ops
 from cista_flow_tpu.ops import corr as C
 
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
+
 
 def nchw(x):
     return torch.from_numpy(np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))

@@ -1,4 +1,5 @@
 """Time-parallel eraft serving == step-by-step composite recurrence."""
+import pytest
 import numpy as np
 
 import jax
@@ -6,6 +7,8 @@ import jax.numpy as jnp
 
 from cista_flow_tpu.configs import Config
 from cista_flow_tpu.models import composite
+
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
 
 
 def test_apply_sequence_eraft_matches_stepwise():

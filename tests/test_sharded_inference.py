@@ -8,6 +8,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from cista_flow_tpu import parallel
 from cista_flow_tpu.configs import Config
 from cista_flow_tpu.models import composite
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier only: mesh compiles (see pytest.ini)
 
 
 def test_sharded_inference_matches_single_device():

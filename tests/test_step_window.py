@@ -8,6 +8,8 @@ import pytest
 from cista_flow_tpu.configs import Config
 from cista_flow_tpu.runner import Reconstructor
 
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
+
 H, W = 32, 48
 T = 3
 

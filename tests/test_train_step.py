@@ -9,6 +9,8 @@ from cista_flow_tpu import parallel
 from cista_flow_tpu.configs import Config
 from cista_flow_tpu.models import composite
 
+pytestmark = pytest.mark.slow  # full tier only: compile-heavy (see pytest.ini)
+
 
 def make_seq(rng, t_len, batch, h, w, bins, with_old=False):
     seq = {
