@@ -42,15 +42,20 @@ def conv_layer(p, x, stride=1, padding=1, activation=None, groups=1):
 
 def upsample_conv_layer(p, x, out_hw=None, activation=None):
     """Bilinear x2 (align_corners=False) -> reflect pad (k-1)/2 -> conv
-    (ref: e2v/base_layers.py:168-212)."""
+    (ref: e2v/base_layers.py:168-212).
+
+    The reflect pad is folded into the resize's constant interpolation
+    matrices (duplicated border rows), so the full-res padded tensor is
+    produced by the same two MXU einsums and the conv runs VALID — no
+    separate pad materialization."""
     from ..ops.resize import resize_bilinear
 
     _, h, w, _ = x.shape
     target = out_hw if out_hw is not None else (h * 2, w * 2)
-    y = resize_bilinear(x, target, align_corners=False)
     k = p["w"].shape[0]
     pad = (k - 1) // 2
-    y = C.apply_conv(p, y, stride=1, padding=pad, padding_mode="reflect")
+    y = resize_bilinear(x, target, align_corners=False, reflect_pad=pad)
+    y = C.apply_conv(p, y, stride=1, padding=0)
     return _ACTS[activation](y)
 
 

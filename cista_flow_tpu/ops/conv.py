@@ -54,7 +54,8 @@ def conv2d(
     # CISTA_REFLECT_EDGE=1 to enable).
     if (_REFLECT_EDGE and padding_mode == "reflect" and groups == 1
             and (kh, kw) == (3, 3) and tuple(stride) == (1, 1)
-            and (ph, pw) == (1, 1) and x.shape[1] >= 2 and x.shape[2] >= 2):
+            and (ph, pw) == (1, 1) and x.shape[1] >= 2 and x.shape[2] >= 2
+            and (cout > cin_g or x.shape[1] * x.shape[2] >= 30000)):
         return _conv_reflect_edge(x, w, b)
 
     if padding_mode == "reflect" and (ph or pw):

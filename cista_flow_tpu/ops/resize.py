@@ -62,7 +62,16 @@ def _interp_matrix_np(out_size: int, in_size: int, align_corners: bool):
     return m
 
 
-def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False) -> jnp.ndarray:
+@functools.lru_cache(maxsize=64)
+def _reflect_rows(out_size: int, pad: int):
+    """Row-index vector that appends a reflect pad to a resize matrix:
+    padded output row -k equals output row k (torch reflect semantics)."""
+    return (list(range(pad, 0, -1)) + list(range(out_size))
+            + list(range(out_size - 2, out_size - 2 - pad, -1)))
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False,
+                    reflect_pad: int = 0) -> jnp.ndarray:
     """Bilinear resize of an NHWC tensor to ``out_hw = (H_out, W_out)``.
 
     Matches ``torch.nn.functional.interpolate(mode='bilinear')`` in both
@@ -71,20 +80,31 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False) -> jnp.
     TPU design: shapes are static, so the per-axis interpolation is a pair of
     small constant-matrix contractions on the MXU instead of gathers (TPU
     gathers cost ~10ns per site; these matrices have 2 nonzeros per row).
+
+    ``reflect_pad``: emit the result already reflect-padded by that many
+    pixels on each spatial side — identical to ``jnp.pad(resize(x),
+    mode='reflect')`` but free: reflected border rows are just duplicated
+    rows of the constant interpolation matrices, so no separate full-tensor
+    pad materialization happens (a following VALID conv fuses the rest).
     """
     h_out, w_out = int(out_hw[0]), int(out_hw[1])
     _, h_in, w_in, _ = x.shape
-    if h_out == h_in and w_out == w_in:
+    if h_out == h_in and w_out == w_in and not reflect_pad:
         return x
     dtype = x.dtype
     xf = x.astype(jnp.float32)
 
-    if h_out != h_in:
-        mh = jnp.asarray(_interp_matrix_np(h_out, h_in, align_corners))
-        xf = jnp.einsum("oh,bhwc->bowc", mh, xf)
-    if w_out != w_in:
-        mw = jnp.asarray(_interp_matrix_np(w_out, w_in, align_corners))
-        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf)
+    import numpy as np
+    if h_out != h_in or reflect_pad:
+        mh = _interp_matrix_np(h_out, h_in, align_corners)
+        if reflect_pad:
+            mh = mh[np.asarray(_reflect_rows(h_out, reflect_pad))]
+        xf = jnp.einsum("oh,bhwc->bowc", jnp.asarray(mh), xf)
+    if w_out != w_in or reflect_pad:
+        mw = _interp_matrix_np(w_out, w_in, align_corners)
+        if reflect_pad:
+            mw = mw[np.asarray(_reflect_rows(w_out, reflect_pad))]
+        xf = jnp.einsum("ow,bhwc->bhoc", jnp.asarray(mw), xf)
     return xf.astype(dtype)
 
 
