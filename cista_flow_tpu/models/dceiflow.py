@@ -62,21 +62,27 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
     (training loss needs the sequence — ref: DCEIFlow.py:209-227). Inference
     only consumes the final flow, so the per-iteration x8 upsample + stacking
     (the dominant cost of the scan body on TPU) is skipped when False."""
-    # serving fast path: the Pallas radix lookup (no grads needed there);
-    # training keeps the autodiff-friendly einsum lookup
-    fast = not collect_preds
-    if fast:
-        from ..ops import pallas_corr as PC
-        fast = PC.supported(pyr.levels[0].shape[1], pyr.levels[0].shape[2],
-                            len(pyr.levels))
+    # Pallas radix lookup: direct in the serving path; via custom_vjp
+    # (einsum-adjoint backward) in the training path. CPU (interpret mode)
+    # keeps the einsum lookup.
+    from ..ops import pallas_corr as PC
+    supported = PC.supported(pyr.levels[0].shape[1], pyr.levels[0].shape[2],
+                             len(pyr.levels))
+    fast = not collect_preds and supported
+    train_pallas = (supported and not fast
+                    and jax.default_backend() == "tpu")
     if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 
     def step(carry, _):
         net, coords1 = carry
         coords1 = jax.lax.stop_gradient(coords1)
-        c = (PC.lookup_corr_pallas(pyr_t, coords1, CORR_RADIUS) if fast
-             else CORR.lookup_corr(pyr, coords1, CORR_RADIUS))
+        if fast:
+            c = PC.lookup_corr_pallas(pyr_t, coords1, CORR_RADIUS)
+        elif train_pallas:
+            c = PC.lookup_corr_trainable(pyr, coords1, CORR_RADIUS)
+        else:
+            c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
         flow = coords1 - coords0
         net, _, delta = G.basic_update_block_event(
             params["update"], net, inp, c, emap, flow)

@@ -106,6 +106,8 @@ def supported(h1: int, w1: int, num_levels: int = 4) -> bool:
 # copy into padded VMEM scratch (sublane-misaligned writes) at the cost of
 # reading the zero borders from HBM (~3.9x slab traffic). Measured toggle.
 _HBM_PAD = _os.environ.get("CISTA_CORR_HBM_PAD", "0") == "1"
+# 16-aligned per-tap output slots (vs packed 9-strided sublane writes)
+_ALIGN_OUT = _os.environ.get("CISTA_CORR_ALIGN_OUT", "0") == "1"
 
 
 def pad_pyramid_t(pyr: CorrPyramid, radius: int = 4) -> PaddedPyramidT:
@@ -174,7 +176,7 @@ def _level_masks(cflat: jnp.ndarray, hl: int, wl: int, scale: float,
     return jnp.concatenate(rows, axis=0).astype(dtype)
 
 
-def _make_kernel(sizes, hbm_pad: bool):
+def _make_kernel(sizes, hbm_pad: bool, align_out: bool = False):
     nlv = len(sizes)
 
     def kernel(*refs):
@@ -247,9 +249,15 @@ def _make_kernel(sizes, hbm_pad: bool):
                    + fy * (b7[:, 1:10, :] - b7[:, 0:9, :]))  # (9b, 9a, BN)
             # channel order: x-offset-major (torch meshgrid(dy,dx) quirk —
             # see ops/corr.py lookup_corr): out[b*9 + a] = win[b, a]
-            base = i * _WIN * _WIN
-            for b in range(_WIN):
-                out_ref[base + b * _WIN:base + (b + 1) * _WIN, :] = win[b]
+            if align_out:
+                # (nlv, 9, 16, bn) layout: each 9-row write starts at sublane
+                # offset 0 of a 16-aligned tap slot (XLA slices the pad off)
+                for b in range(_WIN):
+                    out_ref[i, b, 0:_WIN, :] = win[b]
+            else:
+                base = i * _WIN * _WIN
+                for b in range(_WIN):
+                    out_ref[base + b * _WIN:base + (b + 1) * _WIN, :] = win[b]
 
     return kernel
 
@@ -279,6 +287,21 @@ def _lookup_all_levels(slabs, masks, sizes, interpret: bool):
             pltpu.VMEM((25, 26, bn), dt),        # xy-coarse band
         ]
 
+    if _ALIGN_OUT:
+        out = pl.pallas_call(
+            _make_kernel(sizes, _HBM_PAD, align_out=True),
+            grid=(n_pad // bn,),
+            in_specs=([spec3(s.shape) for s in slabs]
+                      + [spec2(m.shape) for m in masks]),
+            out_specs=pl.BlockSpec((nlv, _WIN, 16, bn),
+                                   lambda i: (0, 0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nlv, _WIN, 16, n_pad), dt),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*slabs, *masks)
+        return out[:, :, :_WIN, :].reshape(nlv * _WIN * _WIN, n_pad)
+
     return pl.pallas_call(
         _make_kernel(sizes, _HBM_PAD),
         grid=(n_pad // bn,),
@@ -290,6 +313,44 @@ def _lookup_all_levels(slabs, masks, sizes, interpret: bool):
         scratch_shapes=scratch,
         interpret=interpret,
     )(*slabs, *masks)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lookup_trainable(shape_meta, levels, coords):
+    from .corr import CorrPyramid as _CP
+    pyr = _CP(levels, *shape_meta)
+    return lookup_corr_pallas(pad_pyramid_t(pyr), coords)
+
+
+def _lookup_trainable_fwd(shape_meta, levels, coords):
+    return _lookup_trainable(shape_meta, levels, coords), (levels, coords)
+
+
+def _lookup_trainable_bwd(shape_meta, res, g):
+    # The lookup is linear in the pyramid, and both formulations compute the
+    # SAME function, so the einsum path's vjp is the exact adjoint (the
+    # transposed selection matmuls). coords' cotangent is exact too (the
+    # models stop_gradient coords before the lookup, but correctness here
+    # does not rely on that).
+    from . import corr as CORR
+    levels, coords = res
+    _, vjp = jax.vjp(
+        lambda lv, c: CORR.lookup_corr(CORR.CorrPyramid(lv, *shape_meta), c),
+        levels, coords)
+    return vjp(g)
+
+
+_lookup_trainable.defvjp(_lookup_trainable_fwd, _lookup_trainable_bwd)
+
+
+def lookup_corr_trainable(pyr, coords: jnp.ndarray,
+                          radius: int = 4) -> jnp.ndarray:
+    """Differentiable drop-in for ops.corr.lookup_corr: Pallas radix kernel
+    forward, einsum-adjoint backward (custom_vjp). Used by the training path
+    on TPU — the kernel has no native autodiff, but its adjoint is just the
+    transpose of the selection contraction the einsum path already builds."""
+    assert radius == _R
+    return _lookup_trainable((pyr.batch, pyr.h1, pyr.w1), pyr.levels, coords)
 
 
 def lookup_corr_pallas(pyr_t: PaddedPyramidT, coords: jnp.ndarray,

@@ -121,3 +121,36 @@ def test_in_model_fast_path_matches_einsum_path():
     np.testing.assert_allclose(np.asarray(out["flow_final"]),
                                np.asarray(ref["flow_final"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_trainable_lookup_value_and_grad_match_einsum():
+    """custom_vjp path: Pallas forward must match the einsum lookup, and its
+    backward (the einsum adjoint) must equal jax.grad through the einsum
+    path — for both the pyramid and the coords cotangents."""
+    B, H1, W1 = 1, 16, 24
+    rng = np.random.default_rng(3)
+    pyr = _pyramid(rng, B, H1, W1)
+    coords = CORR.coords_grid(B, H1, W1) + jnp.asarray(
+        rng.standard_normal((B, H1, W1, 2)) * 2.0, jnp.float32)
+    gcot = jnp.asarray(rng.standard_normal((B, H1, W1, 4 * 81)), jnp.float32)
+
+    def loss_pallas(levels, c):
+        out = PC.lookup_corr_trainable(
+            CORR.CorrPyramid(levels, pyr.batch, pyr.h1, pyr.w1), c)
+        return jnp.sum(out * gcot)
+
+    def loss_einsum(levels, c):
+        out = CORR.lookup_corr(
+            CORR.CorrPyramid(levels, pyr.batch, pyr.h1, pyr.w1), c)
+        return jnp.sum(out * gcot)
+
+    va, (gla, gca) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(
+        pyr.levels, coords)
+    vb, (glb, gcb) = jax.value_and_grad(loss_einsum, argnums=(0, 1))(
+        pyr.levels, coords)
+    assert float(va) == pytest.approx(float(vb), rel=1e-4)
+    for a, b in zip(gla, glb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gca), np.asarray(gcb),
+                               rtol=1e-4, atol=1e-4)
