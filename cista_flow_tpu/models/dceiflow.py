@@ -70,7 +70,8 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
                              len(pyr.levels))
     fast = not collect_preds and supported
     train_pallas = (supported and not fast
-                    and jax.default_backend() == "tpu")
+                    and jax.default_backend() == "tpu"
+                    and PC.TRAIN_PALLAS)
     if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 

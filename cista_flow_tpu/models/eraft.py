@@ -73,7 +73,8 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
                              len(pyr.levels))
     fast = not train and not collect_preds and supported
     train_pallas = (supported and not fast
-                    and jax.default_backend() == "tpu")
+                    and jax.default_backend() == "tpu"
+                    and PC.TRAIN_PALLAS)
     if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 

@@ -374,3 +374,14 @@ def lookup_corr_pallas(pyr_t: PaddedPyramidT, coords: jnp.ndarray,
                              interpret)
     return (jnp.transpose(out[:, :n]).reshape(B, H1, W1, -1)
             .astype(coords.dtype))
+
+
+# Training-path kernel use (custom_vjp). Default OFF in this environment:
+# the axon tunnel's remote-compile helper crashes (HTTP 500) on the
+# flagship BPTT train graph once the kernel is embedded, the same class
+# of helper limit as the batch>=4 ceiling (PERF.md "Training"). The
+# kernel + custom_vjp themselves compile and match jax.grad exactly
+# (standalone, under scan, and through a full flow-net grad on the real
+# chip; tests/test_pallas_corr.py) — flip on where the compiler is not
+# proxied: CISTA_TRAIN_PALLAS=1.
+TRAIN_PALLAS = _os.environ.get("CISTA_TRAIN_PALLAS", "0") == "1"
