@@ -68,7 +68,7 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
     from ..ops import pallas_corr as PC
     supported = PC.supported(pyr.levels[0].shape[1], pyr.levels[0].shape[2],
                              len(pyr.levels))
-    fast = not collect_preds and supported
+    fast = not collect_preds and supported and PC.SERVE_PALLAS
     train_pallas = (supported and not fast
                     and jax.default_backend() == "tpu"
                     and PC.TRAIN_PALLAS)

@@ -71,7 +71,7 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
     from ..ops import pallas_corr as PC
     supported = PC.supported(pyr.levels[0].shape[1], pyr.levels[0].shape[2],
                              len(pyr.levels))
-    fast = not train and not collect_preds and supported
+    fast = not train and not collect_preds and supported and PC.SERVE_PALLAS
     train_pallas = (supported and not fast
                     and jax.default_backend() == "tpu"
                     and PC.TRAIN_PALLAS)

@@ -385,3 +385,6 @@ def lookup_corr_pallas(pyr_t: PaddedPyramidT, coords: jnp.ndarray,
 # chip; tests/test_pallas_corr.py) — flip on where the compiler is not
 # proxied: CISTA_TRAIN_PALLAS=1.
 TRAIN_PALLAS = _os.environ.get("CISTA_TRAIN_PALLAS", "0") == "1"
+
+# serving-path kernel use; env-gated for environment A/Bs
+SERVE_PALLAS = _os.environ.get("CISTA_SERVE_PALLAS", "1") == "1"
