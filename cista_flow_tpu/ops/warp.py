@@ -163,20 +163,16 @@ def sample_pixel_coords(
         # and the augmented copies run in the input's compute dtype (bf16
         # serving halves the traffic); the corner blend accumulates in f32.
         gdt = orig_dtype if orig_dtype == jnp.bfloat16 else jnp.float32
-        flat = img.reshape(B, H * W, C).astype(gdt)
-        hw = H * W
-        # all four shifted copies as direct slices of ``flat`` (no chained
-        # intermediates: one fused write of the augmented buffer instead of
-        # three materialized shift copies + a concat)
-        s1 = jnp.concatenate([flat[:, 1:], flat[:, -1:]], axis=1)    # +1 col
-        sw = jnp.concatenate([flat[:, W:], flat[:, -W:]], axis=1)    # +1 row
-        if H >= 2:
-            sw1 = jnp.concatenate(                                    # +both
-                [flat[:, W + 1:], flat[:, -1:],
-                 flat[:, hw - W + 1:], flat[:, -1:]], axis=1)
-        else:  # degenerate single-row image: +row clamps to the same row
-            sw1 = s1
-        aug = jnp.concatenate([flat, s1, sw, sw1], axis=-1)          # (B,HW,4C)
+        x4 = img.astype(gdt)
+        # shifted copies in NHWC: the H shifts ride the cheap outer dim and
+        # sw1 reuses s1's single W relayout. Edge slots duplicate the last
+        # row/col — valid because a fetched-but-out-of-range corner always
+        # carries weight exactly 0 (see cw above), so its value is unused.
+        s1 = jnp.concatenate([x4[:, :, 1:], x4[:, :, -1:]], axis=2)  # +1 col
+        sw = jnp.concatenate([x4[:, 1:], x4[:, -1:]], axis=1)        # +1 row
+        sw1 = jnp.concatenate([s1[:, 1:], s1[:, -1:]], axis=1)       # +both
+        aug = jnp.concatenate([x4, s1, sw, sw1],
+                              axis=-1).reshape(B, H * W, 4 * C)
 
         xc = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
         yc = jnp.clip(y0, 0, H - 1).astype(jnp.int32)

@@ -149,6 +149,19 @@ class Reconstructor:
 
         def window(params, mstate, state, rec0, extra, events_seq, gt_flows,
                    use_gt_flow):
+            if mode == "cista-eraft" and not use_gt_flow:
+                # time-parallel fast path: E-RAFT's flow depends only on
+                # consecutive voxel pairs, so the whole window's flows run as
+                # ONE batched flow-net call; only the cheap CISTA recurrence
+                # stays sequential (composite.apply_sequence_eraft; parity
+                # pinned in test_sequence_eraft / test_step_window)
+                voxel_seq = jnp.concatenate(
+                    [constrain(extra)[None], events_seq], axis=0)
+                recs, flows, state = composite.apply_sequence_eraft(
+                    params, mstate, voxel_seq, state, cfg, rec0=rec0,
+                    iters=self.iters)
+                return recs, flows, state, events_seq[-1]
+
             def body(carry, xs):
                 state, rec0, extra = carry
                 events, gt_flow = xs
