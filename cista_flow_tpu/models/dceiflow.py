@@ -66,8 +66,13 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
     # (einsum-adjoint backward) in the training path. CPU (interpret mode)
     # keeps the einsum lookup.
     from ..ops import pallas_corr as PC
-    supported = PC.supported(pyr.levels[0].shape[1], pyr.levels[0].shape[2],
-                             len(pyr.levels))
+    supported = (PC.supported(pyr.levels[0].shape[1],
+                              pyr.levels[0].shape[2],
+                              len(pyr.levels))
+                 # f32 slabs double the kernel's VMEM scratch past
+                 # the 16MB budget at working resolutions; f32
+                 # serving (a debug/verification mode) keeps the einsum path
+                 and pyr.levels[0].dtype == jnp.bfloat16)
     fast = not collect_preds and supported and PC.SERVE_PALLAS
     train_pallas = (supported and not fast
                     and jax.default_backend() == "tpu"

@@ -102,24 +102,43 @@ def test_lookup_under_jit_and_scan():
 
 
 def test_in_model_fast_path_matches_einsum_path():
-    """collect_preds=False routes through the Pallas lookup; flow_final must
-    match the einsum-lookup training path (same math, same iterations)."""
+    """collect_preds=False routes through the Pallas lookup (bf16 serving —
+    the kernel is gated to bf16 slabs, f32 serving keeps the einsum path);
+    flow_final must match the einsum-lookup path at bf16 rounding."""
     import types
 
     from cista_flow_tpu.models import eraft
 
     cfg = types.SimpleNamespace(image_dim=(64, 96), num_bins=5)
     params, state = eraft.init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
     rng = np.random.default_rng(17)
-    v0 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.float32)
-    v1 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.bfloat16)
+    v1 = jnp.asarray(rng.standard_normal((1, 64, 96, 5)), jnp.bfloat16)
 
     ref, _ = eraft.apply(params, state, v0, v1, cfg, iters=4,
                          collect_preds=True)
     out, _ = eraft.apply(params, state, v0, v1, cfg, iters=4,
                          collect_preds=False)
-    np.testing.assert_allclose(np.asarray(out["flow_final"]),
-                               np.asarray(ref["flow_final"]),
+    np.testing.assert_allclose(np.asarray(out["flow_final"], np.float32),
+                               np.asarray(ref["flow_final"], np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+    # the f32 serving path must NOT take the kernel (VMEM budget) — both
+    # modes then agree tightly through the einsum lookup
+    pf32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if x.dtype == jnp.bfloat16 else x, params)
+    ref32, _ = eraft.apply(pf32, state, v0.astype(jnp.float32),
+                           v1.astype(jnp.float32), cfg, iters=4,
+                           collect_preds=True)
+    out32, _ = eraft.apply(pf32, state, v0.astype(jnp.float32),
+                           v1.astype(jnp.float32), cfg, iters=4,
+                           collect_preds=False)
+    np.testing.assert_allclose(np.asarray(out32["flow_final"]),
+                               np.asarray(ref32["flow_final"]),
                                rtol=1e-4, atol=1e-4)
 
 
