@@ -54,7 +54,19 @@ def main():
         """Closed-loop recurrence over `chunk` steps, on-device (the
         streaming voxels for the chunk are staged in HBM — a production
         server overlaps the host feed with compute). cista-idnet carries its
-        next_flow chaining exactly like the serving runner."""
+        next_flow chaining exactly like the serving runner; cista-eraft uses
+        the time-parallel serving path (one batched flow-net call per chunk,
+        exactly what Reconstructor.step_window dispatches)."""
+        if model == "cista-eraft" and os.environ.get("BENCH_ERAFT_SEQ") == "1":
+            # time-parallel serving path (batched flow net over the chunk);
+            # opt-in: the chunk*batch flow-net compile is heavy for the
+            # tunnel's remote-compile helper
+            voxel_seq = jnp.concatenate(
+                [jnp.zeros_like(events_seq[:1]), events_seq], axis=0)
+            recs, _, state = composite.apply_sequence_eraft(
+                params, mstate, voxel_seq, state, cfg, rec0=rec0)
+            return recs[-1], state, flow_chain, recs
+
         def body(carry, xs):
             rec, state, chain = carry
             batch_data = {"event_voxel": xs[0], "rec_img0": rec}
