@@ -57,10 +57,11 @@ def main():
         next_flow chaining exactly like the serving runner; cista-eraft uses
         the time-parallel serving path (one batched flow-net call per chunk,
         exactly what Reconstructor.step_window dispatches)."""
-        if model == "cista-eraft" and os.environ.get("BENCH_ERAFT_SEQ") == "1":
+        if model == "cista-eraft" and os.environ.get("BENCH_ERAFT_SEQ", "1") == "1":
             # time-parallel serving path (batched flow net over the chunk);
-            # opt-in: the chunk*batch flow-net compile is heavy for the
-            # tunnel's remote-compile helper
+            # default since it measured 440 vs 419 fps — BENCH_ERAFT_SEQ=0
+            # falls back to per-step flow if the chunk*batch flow-net
+            # compile is too heavy for the tunnel's remote-compile helper
             voxel_seq = jnp.concatenate(
                 [jnp.zeros_like(events_seq[:1]), events_seq], axis=0)
             recs, _, state = composite.apply_sequence_eraft(
