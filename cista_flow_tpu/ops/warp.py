@@ -156,37 +156,31 @@ def sample_pixel_coords(
 
     if padding_mode != "zeros":
         # TPU: per-element gathers cost ~10ns per SITE regardless of row
-        # width, so fetch all 4 bilinear corners in ONE row-gather by
-        # augmenting the channel dim with x+1 / y+1 / both-shifted copies
-        # (bandwidth-cheap, exact — base coords are pre-clamped >= 0 and a
-        # wrong-but-fetched edge slot always carries weight 0). The gather
-        # and the augmented copies run in the input's compute dtype (bf16
-        # serving halves the traffic); the corner blend accumulates in f32.
+        # width, so fetch all 4 bilinear corners in ONE row-gather. In flat
+        # (B*H*W, C) layout the corners of base site n are rows n / n+1 /
+        # n+W / n+W+1 (exact: base coords are pre-clamped into range, so a
+        # cross-row mis-fetch only happens at x0=W-1 / y0=H-1 where the
+        # shifted corner's bilinear weight is exactly 0), so the augmented
+        # tensor is four OFFSET WINDOWS of the same buffer — built at
+        # bandwidth by a Pallas kernel (ops/pallas_aug.py) instead of the
+        # shifted-copy concats XLA materializes at ~1/3 bandwidth. The
+        # gather runs in the input's compute dtype (bf16 serving halves the
+        # traffic); the corner blend accumulates in f32.
+        from . import pallas_aug
         gdt = orig_dtype if orig_dtype == jnp.bfloat16 else jnp.float32
-        x4 = img.astype(gdt)
-        # shifted copies in NHWC: the H shifts ride the cheap outer dim and
-        # sw1 reuses s1's single W relayout. Edge slots duplicate the last
-        # row/col — valid because a fetched-but-out-of-range corner always
-        # carries weight exactly 0 (see cw above), so its value is unused.
-        s1 = jnp.concatenate([x4[:, :, 1:], x4[:, :, -1:]], axis=2)  # +1 col
-        sw = jnp.concatenate([x4[:, 1:], x4[:, -1:]], axis=1)        # +1 row
-        sw1 = jnp.concatenate([s1[:, 1:], s1[:, -1:]], axis=1)       # +both
-        aug = jnp.concatenate([x4, s1, sw, sw1],
-                              axis=-1).reshape(B, H * W, 4 * C)
+        flat = img.astype(gdt).reshape(B * H * W, C)
+        aug = pallas_aug.build_aug(flat, W)     # (>=B*H*W, 4C)
 
         xc = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
         yc = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
-        hw = H * W
         lin = (yc * W + xc).reshape(B, -1)
-        lin = lin + (jnp.arange(B, dtype=jnp.int32) * hw)[:, None]
-        g = jnp.take(aug.reshape(B * hw, 4 * C), lin.reshape(-1), axis=0)
-        g = g.reshape(*gx.shape, 4, C)
-        # corner blend: products in the gather dtype, f32 accumulation
-        # (same precision contract as an MXU conv) — fused, so the gathered
-        # corners never materialize in f32
-        wts = jnp.stack([w00, w01, w10, w11], axis=-1).astype(gdt)
-        out = jnp.einsum("...kc,...k->...c", g, wts,
-                         preferred_element_type=jnp.float32)
+        lin = lin + (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
+        g = jnp.take(aug, lin.reshape(-1), axis=0).reshape(*gx.shape, 4 * C)
+        # corner blend: 4 lane-slices of the gathered rows, f32 accumulation
+        # (same precision contract as an MXU conv)
+        wts = (w00, w01, w10, w11)
+        out = sum(g[..., k * C:(k + 1) * C].astype(jnp.float32)
+                  * wts[k][..., None] for k in range(4))
         return out.astype(orig_dtype)
 
     def corner(xi, yi, w):
