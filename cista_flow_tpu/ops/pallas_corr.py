@@ -106,8 +106,6 @@ def supported(h1: int, w1: int, num_levels: int = 4) -> bool:
 # copy into padded VMEM scratch (sublane-misaligned writes) at the cost of
 # reading the zero borders from HBM (~3.9x slab traffic). Measured toggle.
 _HBM_PAD = _os.environ.get("CISTA_CORR_HBM_PAD", "0") == "1"
-# 16-aligned per-tap output slots (vs packed 9-strided sublane writes)
-_ALIGN_OUT = _os.environ.get("CISTA_CORR_ALIGN_OUT", "0") == "1"
 
 
 def pad_pyramid_t(pyr: CorrPyramid, radius: int = 4) -> PaddedPyramidT:
@@ -155,28 +153,36 @@ def _onehot(digit: jnp.ndarray, num: int) -> jnp.ndarray:
     return (i == digit[None, :]).astype(jnp.float32)
 
 
+def _lerp_mask(digit: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
+    """5-row fused fine-select + 2-tap-lerp mask: row j carries
+    (1-f)*[j==d] + f*[j==d+1] so the kernel's last digit stage IS the
+    bilinear lerp (one masked sum instead of onehot select + lerp pass)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (5, digit.shape[0]), 0)
+    d = digit[None, :]
+    return ((i == d).astype(jnp.float32) * (1.0 - frac)[None, :]
+            + (i == d + 1).astype(jnp.float32) * frac[None, :])
+
+
 def _level_masks(cflat: jnp.ndarray, hl: int, wl: int, scale: float,
                  dtype) -> jnp.ndarray:
-    """Stacked per-sample selection masks, (Qx+8+1+Qy+4+4+1, n_pad).
+    """Stacked per-sample selection masks, (Qx+4+5+Qy+4+5, n_pad).
 
-    Row layout: [x coarse onehot | x fine onehot | fx | y coarse onehot |
-    y mid onehot | y fine onehot | fy]."""
+    Row layout: [x coarse onehot | x mid onehot | x fine-lerp |
+    y coarse onehot | y mid onehot | y fine-lerp]."""
     ux0, fx = _clamp(cflat[:, 0] * scale, wl)
     uy0, fy = _clamp(cflat[:, 1] * scale, hl)
     rows = [
         _onehot(ux0 >> 4, _qx(wl)),
         _onehot((ux0 >> 2) & 3, 4),
-        _onehot(ux0 & 3, 4),
-        fx[None, :],
+        _lerp_mask(ux0 & 3, fx),
         _onehot(uy0 >> 4, _qy(hl)),
         _onehot((uy0 >> 2) & 3, 4),
-        _onehot(uy0 & 3, 4),
-        fy[None, :],
+        _lerp_mask(uy0 & 3, fy),
     ]
     return jnp.concatenate(rows, axis=0).astype(dtype)
 
 
-def _make_kernel(sizes, hbm_pad: bool, align_out: bool = False):
+def _make_kernel(sizes, hbm_pad: bool):
     nlv = len(sizes)
 
     def kernel(*refs):
@@ -229,35 +235,29 @@ def _make_kernel(sizes, hbm_pad: bool, align_out: bool = False):
                 bxy[...] = msum(
                     [m[o + q][None, None, :] * bx[:, 16 * q:16 * q + 26, :]
                      for q in range(qy)])
-            # --- x mid/fine (4x4): (13, 26) -> (10, 26) --------------------
+            # --- x mid (4): (13, 26); x fine-lerp (5): (9, 26) ------------
+            # the fine digit's masked sum IS the x lerp (_lerp_mask), and
+            # its slices ride the untiled outer axis (free).
             b3 = msum([m[qx + a][None, None, :]
                        * bxy[4 * a:4 * a + 13, 0:26, :]
                        for a in range(4)])
-            b4 = msum([m[qx + 4 + b][None, None, :] * b3[b:b + 10]
-                       for b in range(4)])
-            # --- y mid/fine (4x4): (10, 13) -> (10, 10) --------------------
+            b4 = msum([m[qx + 4 + j][None, None, :] * b3[j:j + 9]
+                       for j in range(5)])
+            # --- y mid (4): (9, 13); y fine-lerp (5): (9, 9) --------------
             o += qy
             b5 = msum([m[o + a][None, None, :] * b4[:, 4 * a:4 * a + 13, :]
                        for a in range(4)])
-            b6 = msum([m[o + 4 + b][None, None, :] * b5[:, b:b + 10, :]
-                       for b in range(4)])
-            # --- 2-tap lerps ----------------------------------------------
-            fx = m[qx + 8][None, None, :]
-            fy = m[o + 8][None, None, :]
-            b7 = b6[0:9] + fx * (b6[1:10] - b6[0:9])       # (9b, 10, BN)
-            win = (b7[:, 0:9, :]
-                   + fy * (b7[:, 1:10, :] - b7[:, 0:9, :]))  # (9b, 9a, BN)
+            win = msum([m[o + 4 + j][None, None, :] * b5[:, j:j + 9, :]
+                        for j in range(5)])             # (9b, 9a, BN)
             # channel order: x-offset-major (torch meshgrid(dy,dx) quirk —
-            # see ops/corr.py lookup_corr): out[b*9 + a] = win[b, a]
-            if align_out:
-                # (nlv, 9, 16, bn) layout: each 9-row write starts at sublane
-                # offset 0 of a 16-aligned tap slot (XLA slices the pad off)
-                for b in range(_WIN):
-                    out_ref[i, b, 0:_WIN, :] = win[b]
-            else:
-                base = i * _WIN * _WIN
-                for b in range(_WIN):
-                    out_ref[base + b * _WIN:base + (b + 1) * _WIN, :] = win[b]
+            # see ops/corr.py lookup_corr): out[b*9 + a] = win[b, a].
+            # Packed (324, bn) layout: an aligned (nlv*9, 9, bn) variant was
+            # measured — the kernel body is unchanged (the 9-strided writes
+            # are not the bottleneck) and its downstream merge-reshape costs
+            # +0.45 ms/launch, so packed stays.
+            base = i * _WIN * _WIN
+            for b in range(_WIN):
+                out_ref[base + b * _WIN:base + (b + 1) * _WIN, :] = win[b]
 
     return kernel
 
@@ -286,21 +286,6 @@ def _lookup_all_levels(slabs, masks, sizes, interpret: bool):
             pltpu.VMEM((25, hp, bn), dt),        # x-coarse band
             pltpu.VMEM((25, 26, bn), dt),        # xy-coarse band
         ]
-
-    if _ALIGN_OUT:
-        out = pl.pallas_call(
-            _make_kernel(sizes, _HBM_PAD, align_out=True),
-            grid=(n_pad // bn,),
-            in_specs=([spec3(s.shape) for s in slabs]
-                      + [spec2(m.shape) for m in masks]),
-            out_specs=pl.BlockSpec((nlv, _WIN, 16, bn),
-                                   lambda i: (0, 0, 0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nlv, _WIN, 16, n_pad), dt),
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(*slabs, *masks)
-        return out[:, :, :_WIN, :].reshape(nlv * _WIN * _WIN, n_pad)
 
     return pl.pallas_call(
         _make_kernel(sizes, _HBM_PAD),
