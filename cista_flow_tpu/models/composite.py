@@ -117,7 +117,8 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
             collect_preds=collect_preds)
     elif cfg.model_mode == "cista-idnet":
         batch_flow = idnet.apply(flow_params, events, cfg,
-                                 flow_init=flow_init, deblur_iters=iters)
+                                 flow_init=flow_init, deblur_iters=iters,
+                                 collect_preds=collect_preds)
     else:  # cista-lstc / cista-gtflow: no flow net; GT flow or zero flow
         zero = jnp.zeros((*rec_img0.shape[:3], 2), rec_img0.dtype)
         batch_flow = {"flow_final": batch_gt.get("gt_flow", zero),

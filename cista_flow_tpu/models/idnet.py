@@ -63,9 +63,11 @@ def _deblur(voxel: jnp.ndarray, flow: jnp.ndarray,
 def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
           pred_next_flow: bool = True, deblur_mode: str = "voxel",
           input_flowmap: bool = False, deblur: bool = True,
-          add_delta: bool = False):
+          add_delta: bool = False, collect_preds: bool = True):
     """event_bins: (B, H, W, V). Returns the reference dict surface:
     flow_final (unpadded), next_flow (padded), flow_preds, delta_flow.
+    ``collect_preds=False`` (serving) leaves flow_preds/delta_flow history
+    empty, matching the eiflow/eraft inference fast path.
 
     Live reference branches (ref: idn/idedeq.py:157-210):
     * ``input_flowmap``: GRU state seeded from a context encoder over the
@@ -112,7 +114,8 @@ def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
         up_mask = G.mask_head(params["update"]["mask"], net)
         delta_flow = convex_upsample(dflow, up_mask, factor=DOWNSAMPLE,
                                      flow_scale=8)
-        delta_flow_hist.append(delta_flow)
+        if collect_preds:
+            delta_flow_hist.append(delta_flow)
         if pred_next_flow:
             nflow = G.flow_head(params["update"]["flow_head2"], net)
             up_mask2 = G.mask_head(params["update"]["mask2"], net)
@@ -122,7 +125,8 @@ def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
             flow_total = flow_total + delta_flow
         else:
             flow_total = delta_flow
-        flow_preds.append(flow_total)
+        if collect_preds:
+            flow_preds.append(flow_total)
 
     return {
         "flow_final": padder.unpad(flow_total),

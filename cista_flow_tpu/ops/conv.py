@@ -16,6 +16,9 @@ import jax.numpy as jnp
 DIMS = ("NHWC", "HWIO", "NHWC")
 
 import os as _os
+
+from . import pallas_conv as _pconv
+
 _REFLECT_EDGE = _os.environ.get("CISTA_REFLECT_EDGE", "0") == "1"
 
 
@@ -44,6 +47,19 @@ def conv2d(
     #   the four 2x2-phase stride-1 convs partition the taps exactly.
     if groups == 1 and cout <= 4 and cin_g >= 16:
         return _conv_tapsum(x, w, b, stride, (ph, pw), padding_mode)
+
+    # * square C->C 3x3 convs MAY route to the im2col Pallas kernel
+    #   (contraction depth 9C fills the MXU where XLA's per-tap contraction
+    #   runs at ~(C/128)^2 MFU): measured 1.4x at 64ch, 1.1x at 128ch
+    #   standalone on-chip, but NET NEGATIVE in the full graph (fusion
+    #   barrier + layout transitions; see pallas_conv.py) — default off,
+    #   opt-in via CISTA_PALLAS_CONV=1. Under autodiff the custom_vjp runs
+    #   the XLA twin instead (pallas_conv._fwd).
+    if (_pconv.ENABLED and groups == 1 and (kh, kw) == (3, 3)
+            and tuple(stride) == (1, 1) and (ph, pw) == (1, 1)
+            and x.dtype == jnp.bfloat16 and cin_g == cout
+            and cout in _pconv.CHANNELS and _pconv.supported(x.shape, w.shape)):
+        return _pconv.conv3x3(x, w, b, padding_mode)
 
     # reflect-padded stride-1 3x3 convs (all CISTA layers) without
     # materializing the padded tensor: zero-padding fuses into the XLA conv
