@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..nn import layers as L
 from ..ops import conv as C
+from ..ops import pallas_ista2 as PI
 
 
 class CistaState(NamedTuple):
@@ -80,9 +81,18 @@ def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
 
     z, lstc_cell = L.conv_lstc(params["P0"], x1, state.sparse_code, state.lstc_cell)
 
-    # depth weight-tied ISTA iterations (ref: e2v/e2v_model.py:81-87)
-    for _ in range(depth):
-        z = L.ista_iteration(params["ista"], x1, z)
+    # depth weight-tied ISTA iterations (ref: e2v/e2v_model.py:81-87).
+    # CISTA_PALLAS_ISTA=1 opts bf16 serving into the fused Pallas loop —
+    # measured e2e NEGATIVE (boundary fusion losses outweigh the in-segment
+    # win; see ops/pallas_ista2.py docstring + PERF.md), so default off.
+    # Training is unaffected either way: the kernel's custom_vjp runs the
+    # XLA loop under differentiation. f32 stays on XLA (MXU rounding).
+    if (PI.ENABLED and x1.dtype == jnp.bfloat16
+            and PI.supported(x1.shape, z.shape)):
+        z = PI.fused_ista_v2(params["ista"], x1, z, depth)
+    else:
+        for _ in range(depth):
+            z = L.ista_iteration(params["ista"], x1, z)
     sparse_code = z
 
     rec = L.conv_layer(params["Dg"]["conv"], z, padding=1, activation="relu")

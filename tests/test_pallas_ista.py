@@ -43,3 +43,64 @@ def test_fused_ista_fallback_when_too_big():
     got = pallas_ista.fused_ista(params, x1, z, depth=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+class TestFusedIstaV2:
+    """v2 (whole-frame VMEM residency + im2col GEMMs). Default-off e2e
+    (boundary fusions, see module docstring); exactness pinned here in
+    interpret mode."""
+
+    def test_matches_loop_bf16(self):
+        from cista_flow_tpu.ops import pallas_ista2 as PI
+        rng = np.random.default_rng(2)
+        B, H, W, C = 2, 16, 24, 32
+        params = L.ista_block_init(jax.random.PRNGKey(2), base_channels=C)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params)
+        params["Lambda"] = params["Lambda"].astype(jnp.float32)
+        x1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+        z = jnp.asarray(rng.standard_normal((B, H, W, 2 * C)), jnp.bfloat16)
+        assert PI.supported(x1.shape, z.shape)
+
+        ref = PI._xla_loop(params, x1, z, 3)
+        dw, db, pw, pb, lam = PI._prep_weights(params, x1.dtype)
+        got = PI._fused_pallas(x1, z, dw, db, pw, pb, lam, 3, True)
+        # bf16 rounding: interpret mode accumulates f32 like the kernel, but
+        # intermediate z quantization orders differ slightly from XLA's.
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=0.05, atol=0.05)
+
+    def test_fallback_when_unsupported(self):
+        from cista_flow_tpu.ops import pallas_ista2 as PI
+        rng = np.random.default_rng(3)
+        B, H, W, C = 1, 16, 20, 16  # C<32 and W%8!=0 -> unsupported
+        params = L.ista_block_init(jax.random.PRNGKey(3), base_channels=C)
+        x1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        z = jnp.asarray(rng.standard_normal((B, H, W, 2 * C)), jnp.float32)
+        assert not PI.supported(x1.shape, z.shape)
+        got = PI.fused_ista_v2(params, x1, z, depth=2)
+        ref = PI._xla_loop(params, x1, z, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_xla_loop(self):
+        from cista_flow_tpu.ops import pallas_ista2 as PI
+        rng = np.random.default_rng(4)
+        B, H, W, C = 1, 8, 16, 32
+        params = L.ista_block_init(jax.random.PRNGKey(4), base_channels=C)
+        x1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        z = jnp.asarray(rng.standard_normal((B, H, W, 2 * C)), jnp.float32)
+
+        def f_kernel(p, a, b):
+            return jnp.sum(PI._fused_vjp(p, a, b, 2) ** 2)
+
+        def f_ref(p, a, b):
+            return jnp.sum(PI._xla_loop(p, a, b, 2) ** 2)
+
+        gk = jax.grad(f_kernel, argnums=(0, 1, 2))(params, x1, z)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(params, x1, z)
+        for a, b in zip(jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
