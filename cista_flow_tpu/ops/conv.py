@@ -20,6 +20,7 @@ import os as _os
 from . import pallas_conv as _pconv
 
 _REFLECT_EDGE = _os.environ.get("CISTA_REFLECT_EDGE", "0") == "1"
+_NORM_DOT = _os.environ.get("CISTA_NORM_DOT", "1") == "1"
 
 
 def conv2d(
@@ -306,7 +307,27 @@ def batch_norm(
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """InstanceNorm2d with torch defaults (affine=False, no running stats)."""
+    """InstanceNorm2d with torch defaults (affine=False, no running stats).
+
+    bf16 serving computes the statistics as ones-vector MXU contractions
+    (sum and sum-of-squares in one f32-accumulated pass each) instead of
+    XLA reduce ops — measured A/B in the flagship graph (PERF.md). f32
+    keeps the two-pass mean/var form (exact torch-parity path)."""
+    if x.dtype == jnp.bfloat16 and _NORM_DOT:
+        b, h, w, c = x.shape
+        x2 = x.reshape(b, h * w, c)
+        ones = jnp.ones((h * w,), x.dtype)
+        dn = (((0,), (1,)), ((), ()))
+        s1 = jax.lax.dot_general(ones, x2, dn,
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(ones, x2 * x2, dn,
+                                 preferred_element_type=jnp.float32)
+        n = float(h * w)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        return ((x - mean[:, None, None, :].astype(x.dtype))
+                * inv[:, None, None, :].astype(x.dtype))
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.var(xf, axis=(1, 2), keepdims=True)
