@@ -80,10 +80,16 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
     if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 
+    fuse_proj = fast and PC.FUSE_PROJ
+
     def step(carry, _):
         net, coords1 = carry
         coords1 = jax.lax.stop_gradient(coords1)
-        if fast:
+        if fuse_proj:
+            c = PC.lookup_corr_pallas(
+                pyr_t, coords1, CORR_RADIUS,
+                proj=params["update"]["encoder"]["convc1"])
+        elif fast:
             c = PC.lookup_corr_pallas(pyr_t, coords1, CORR_RADIUS)
         elif train_pallas:
             c = PC.lookup_corr_trainable(pyr, coords1, CORR_RADIUS)
@@ -91,7 +97,8 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
             c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
         flow = coords1 - coords0
         net, _, delta = G.basic_update_block_event(
-            params["update"], net, inp, c, emap, flow)
+            params["update"], net, inp, c, emap, flow,
+            corr_projected=fuse_proj)
         coords1 = coords1 + delta
         out = upflow(coords1 - coords0, ds) if collect_preds else ()
         return (net, coords1), out

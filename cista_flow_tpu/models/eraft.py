@@ -83,17 +83,24 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
     if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 
+    fuse_proj = fast and PC.FUSE_PROJ
+
     def step(carry, _):
         net, coords1, _ = carry
         coords1 = jax.lax.stop_gradient(coords1)
-        if fast:
+        if fuse_proj:
+            c = PC.lookup_corr_pallas(
+                pyr_t, coords1, CORR_RADIUS,
+                proj=params["update"]["encoder"]["convc1"])
+        elif fast:
             c = PC.lookup_corr_pallas(pyr_t, coords1, CORR_RADIUS)
         elif train_pallas:
             c = PC.lookup_corr_trainable(pyr, coords1, CORR_RADIUS)
         else:
             c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
         flow = coords1 - coords0
-        net, mask, delta = G.basic_update_block(params["update"], net, inp, c, flow)
+        net, mask, delta = G.basic_update_block(params["update"], net, inp, c,
+                                                flow, corr_projected=fuse_proj)
         coords1 = coords1 + delta
         out = convex_upsample(coords1 - coords0, mask, factor=8)             if collect_preds else ()
         return (net, coords1, mask), out

@@ -94,8 +94,11 @@ def basic_motion_encoder_event_init(key, cor_planes):
     }
 
 
-def basic_motion_encoder_event(p, flow, emap, corr):
-    cor = jax.nn.relu(C.apply_conv(p["convc1"], corr))
+def basic_motion_encoder_event(p, flow, emap, corr, corr_projected=False):
+    # corr_projected: corr already carries relu(convc1(lookup)) — fused into
+    # the Pallas lookup kernel on the serving path (ops/pallas_corr.py).
+    cor = corr if corr_projected else jax.nn.relu(
+        C.apply_conv(p["convc1"], corr))
     cor = jax.nn.relu(C.apply_conv(p["convc2"], cor, padding=1))
     ema = jax.nn.relu(C.apply_conv(p["conve1"], emap))
     ema = jax.nn.relu(C.apply_conv(p["conve2"], ema, padding=1))
@@ -118,8 +121,9 @@ def basic_motion_encoder_init(key, cor_planes):
     }
 
 
-def basic_motion_encoder(p, flow, corr):
-    cor = jax.nn.relu(C.apply_conv(p["convc1"], corr))
+def basic_motion_encoder(p, flow, corr, corr_projected=False):
+    cor = corr if corr_projected else jax.nn.relu(
+        C.apply_conv(p["convc1"], corr))
     cor = jax.nn.relu(C.apply_conv(p["convc2"], cor, padding=1))
     flo = jax.nn.relu(C.apply_conv(p["convf1"], flow, padding=3))
     flo = jax.nn.relu(C.apply_conv(p["convf2"], flo, padding=1))
@@ -152,13 +156,15 @@ def basic_update_block_event_init(key, cor_planes, hidden_dim=128):
     }
 
 
-def basic_update_block_event(p, net, inp, corr, emap, flow):
+def basic_update_block_event(p, net, inp, corr, emap, flow,
+                             corr_projected=False):
     # corr is built in fp32 (MXU accumulate); flows stay fp32 for sub-pixel
     # accuracy — cast both to the compute dtype at the block boundary so the
     # scan carry keeps one dtype in bf16 mode.
     corr = corr.astype(net.dtype)
     flow = flow.astype(net.dtype)
-    motion = basic_motion_encoder_event(p["encoder"], flow, emap, corr)
+    motion = basic_motion_encoder_event(p["encoder"], flow, emap, corr,
+                                        corr_projected)
     net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
     return net, None, flow_head(p["flow_head"], net)
 
@@ -174,10 +180,10 @@ def basic_update_block_init(key, cor_planes, hidden_dim=128):
     }
 
 
-def basic_update_block(p, net, inp, corr, flow):
+def basic_update_block(p, net, inp, corr, flow, corr_projected=False):
     corr = corr.astype(net.dtype)
     flow = flow.astype(net.dtype)
-    motion = basic_motion_encoder(p["encoder"], flow, corr)
+    motion = basic_motion_encoder(p["encoder"], flow, corr, corr_projected)
     net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
     delta_flow = flow_head(p["flow_head"], net)
     mask = 0.25 * mask_head(p["mask"], net)

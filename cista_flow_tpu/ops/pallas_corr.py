@@ -182,14 +182,22 @@ def _level_masks(cflat: jnp.ndarray, hl: int, wl: int, scale: float,
     return jnp.concatenate(rows, axis=0).astype(dtype)
 
 
-def _make_kernel(sizes, hbm_pad: bool):
+def _make_kernel(sizes, hbm_pad: bool, proj: bool):
     nlv = len(sizes)
 
     def kernel(*refs):
         slabs = refs[:nlv]
         masks = refs[nlv:2 * nlv]
-        out_ref = refs[2 * nlv]
-        scratch = refs[2 * nlv + 1:]
+        idx = 2 * nlv
+        if proj:
+            w_ref, b_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        out_ref = refs[idx]
+        scratch = refs[idx + 1:]
+        if proj:
+            winbuf, scratch = scratch[-1], scratch[:-1]
+        else:
+            winbuf = out_ref
         pad = 2 * _R + 1
         ns = 3 - (1 if hbm_pad else 0)
 
@@ -257,17 +265,32 @@ def _make_kernel(sizes, hbm_pad: bool):
             # +0.45 ms/launch, so packed stays.
             base = i * _WIN * _WIN
             for b in range(_WIN):
-                out_ref[base + b * _WIN:base + (b + 1) * _WIN, :] = win[b]
+                winbuf[base + b * _WIN:base + (b + 1) * _WIN, :] = win[b]
+
+        if proj:
+            # Fused motion-encoder convc1: one K=324 MXU contraction over the
+            # assembled window rows + bias + ReLU. The kernel body is
+            # VPU-bound (radix band selection), so the MXU work rides along
+            # nearly free and the (324, n) cost features never hit HBM.
+            # Orientation (bn, cout): the consumer (convc2) is sample-major,
+            # so this kills the downstream (324, n) -> (n, 324) transpose too.
+            acc = jax.lax.dot_general(
+                winbuf[...], w_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[...] = jnp.maximum(acc + b_ref[...], 0.0).astype(
+                out_ref.dtype)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "interpret"))
-def _lookup_all_levels(slabs, masks, sizes, interpret: bool):
+def _lookup_all_levels(slabs, masks, sizes, interpret: bool,
+                       wproj=None, bproj=None):
     nlv = len(slabs)
     n_pad = slabs[0].shape[-1]
     bn = _block(n_pad)
     dt = slabs[0].dtype
+    proj = wproj is not None
 
     def spec3(shape):
         return pl.BlockSpec((shape[0], shape[1], bn), lambda i: (0, 0, i),
@@ -275,6 +298,10 @@ def _lookup_all_levels(slabs, masks, sizes, interpret: bool):
 
     def spec2(shape):
         return pl.BlockSpec((shape[0], bn), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def spec_full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     scratch = []
@@ -287,17 +314,31 @@ def _lookup_all_levels(slabs, masks, sizes, interpret: bool):
             pltpu.VMEM((25, 26, bn), dt),        # xy-coarse band
         ]
 
+    extra_in, extra_specs = [], []
+    if proj:
+        extra_in = [wproj, bproj]
+        extra_specs = [spec_full(wproj.shape), spec_full(bproj.shape)]
+        scratch.append(pltpu.VMEM((nlv * _WIN * _WIN, bn), dt))  # winbuf
+        cout = wproj.shape[1]
+        out_specs = pl.BlockSpec((bn, cout), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, cout), dt)
+    else:
+        n_out = nlv * _WIN * _WIN
+        out_specs = pl.BlockSpec((n_out, bn), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_out, n_pad), dt)
+
     return pl.pallas_call(
-        _make_kernel(sizes, _HBM_PAD),
+        _make_kernel(sizes, _HBM_PAD, proj),
         grid=(n_pad // bn,),
         in_specs=([spec3(s.shape) for s in slabs]
-                  + [spec2(m.shape) for m in masks]),
-        out_specs=pl.BlockSpec((nlv * _WIN * _WIN, bn), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nlv * _WIN * _WIN, n_pad), dt),
+                  + [spec2(m.shape) for m in masks] + extra_specs),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*slabs, *masks)
+    )(*slabs, *masks, *extra_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -339,10 +380,15 @@ def lookup_corr_trainable(pyr, coords: jnp.ndarray,
 
 
 def lookup_corr_pallas(pyr_t: PaddedPyramidT, coords: jnp.ndarray,
-                       radius: int = 4) -> jnp.ndarray:
+                       radius: int = 4, proj: dict | None = None) -> jnp.ndarray:
     """Drop-in twin of ops.corr.lookup_corr over the padded-transposed
     pyramid. coords: (B, H1, W1, 2) level-0 pixel coords.
-    Returns (B, H1, W1, num_levels*(2r+1)^2), level-major."""
+    Returns (B, H1, W1, num_levels*(2r+1)^2), level-major.
+
+    proj: optional conv params of the motion encoder's 1x1 corr projection
+    (ref: with_event_updater.py:72 convc1 / ERAFT update.py:65) — when
+    given, the kernel fuses relu(convc1(lookup)) via an in-kernel MXU
+    contraction and returns (B, H1, W1, cout) instead (serving path)."""
     assert radius == _R
     B, H1, W1, _ = coords.shape
     n = B * H1 * W1
@@ -355,8 +401,16 @@ def lookup_corr_pallas(pyr_t: PaddedPyramidT, coords: jnp.ndarray,
     masks = tuple(
         _level_masks(cflat, hl, wl, 1.0 / (2.0 ** i), dt)
         for i, (hl, wl) in enumerate(pyr_t.sizes))
+    wproj = bproj = None
+    if proj is not None:
+        cin = proj["w"].shape[2]
+        wproj = proj["w"].reshape(cin, -1).astype(dt)
+        bproj = proj["b"].reshape(1, -1).astype(jnp.float32)
     out = _lookup_all_levels(tuple(pyr_t.levels_t), masks, pyr_t.sizes,
-                             interpret)
+                             interpret, wproj, bproj)
+    if proj is not None:
+        # sample-major (n, cout) straight from the kernel — no transpose
+        return out[:n].reshape(B, H1, W1, -1)
     return (jnp.transpose(out[:, :n]).reshape(B, H1, W1, -1)
             .astype(coords.dtype))
 
@@ -373,3 +427,8 @@ TRAIN_PALLAS = _os.environ.get("CISTA_TRAIN_PALLAS", "0") == "1"
 
 # serving-path kernel use; env-gated for environment A/Bs
 SERVE_PALLAS = _os.environ.get("CISTA_SERVE_PALLAS", "1") == "1"
+
+# fuse the motion encoder's 1x1 corr projection + ReLU into the lookup
+# kernel (serving only; the training path differentiates through the
+# separate conv)
+FUSE_PROJ = _os.environ.get("CISTA_CORR_FUSE_PROJ", "1") == "1"

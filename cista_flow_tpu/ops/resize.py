@@ -12,9 +12,18 @@ against torch CPU.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
+
+# x2-upsample formulation: 0 = interpolation-matrix einsums, 1 = phase lerps
+# on H + matrix on W, 2 = phase lerps on both axes. Default 0: despite ~45x
+# fewer MACs, both phase variants measured e2e-NEGATIVE at the flagship
+# (588 -> 491 both-axes, 588 -> 573 H-only) — the stack/reshape interleave
+# and border concats defeat XLA's fusion with the following conv, while the
+# constant-matrix contractions stay inside one fusion (PERF.md).
+_X2_PHASE_MODE = int(_os.environ.get("CISTA_RESIZE_PHASE", "0"))
 
 
 def _source_coords(out_size: int, in_size: int, align_corners: bool) -> jnp.ndarray:
@@ -70,6 +79,43 @@ def _reflect_rows(out_size: int, pad: int):
             + list(range(out_size - 2, out_size - 2 - pad, -1)))
 
 
+def _resize_x2_phases(x: jnp.ndarray, reflect_pad: int) -> jnp.ndarray:
+    """x2 bilinear upsample (align_corners=False) as periodic 2-tap phase
+    lerps instead of interpolation-matrix contractions.
+
+    With scale 2 the torch source coord is o/2 - 0.25 (clamped at 0), so
+    every even output row is 0.25*x[i-1] + 0.75*x[i] and every odd row
+    0.75*x[i] + 0.25*x[i+1], with edge-clamped shifts reproducing torch's
+    boundary clamping exactly. Pure shifted lerps + interleave: ~45x fewer
+    MACs than the dense-matrix form (measured 3.4 ms -> sub-ms at the CISTA
+    decoder's 90x120x64 shape). ``reflect_pad=1`` appends the reflected
+    border (pad row -1 == output row 1 == odd[0]; pad row 2H == even[H-1]).
+    """
+    xf = x.astype(jnp.float32)
+    out = _resize_x2_phases_axis(_resize_x2_phases_axis(xf, 1, reflect_pad),
+                                 2, reflect_pad)
+    return out.astype(x.dtype)
+
+
+def _resize_x2_phases_axis(t: jnp.ndarray, axis: int,
+                           reflect_pad: int) -> jnp.ndarray:
+    n = t.shape[axis]
+    sl = functools.partial(jax.lax.slice_in_dim, t, axis=axis)
+    lo = jnp.concatenate([sl(0, 1), sl(0, n - 1)], axis)   # t[i-1] clamped
+    hi = jnp.concatenate([sl(1, n), sl(n - 1, n)], axis)   # t[i+1] clamped
+    even = 0.25 * lo + 0.75 * t
+    odd = 0.75 * t + 0.25 * hi
+    inter = jnp.stack([even, odd], axis=axis + 1)
+    shp = list(t.shape)
+    shp[axis] *= 2
+    inter = inter.reshape(shp)
+    if reflect_pad:
+        first = jax.lax.slice_in_dim(odd, 0, 1, axis=axis)   # output row 1
+        last = jax.lax.slice_in_dim(even, n - 1, n, axis=axis)
+        inter = jnp.concatenate([first, inter, last], axis)
+    return inter
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False,
                     reflect_pad: int = 0) -> jnp.ndarray:
     """Bilinear resize of an NHWC tensor to ``out_hw = (H_out, W_out)``.
@@ -92,6 +138,18 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False,
     if h_out == h_in and w_out == w_in and not reflect_pad:
         return x
     dtype = x.dtype
+    if (_X2_PHASE_MODE and not align_corners and h_out == 2 * h_in
+            and w_out == 2 * w_in and reflect_pad <= 1):
+        if _X2_PHASE_MODE == 2:
+            return _resize_x2_phases(x, reflect_pad)
+        # H by phase lerps (outer-dim interleave is cheap); W stays on the
+        # interpolation matrix (sublane interleave is an expensive relayout)
+        xh = _resize_x2_phases_axis(x.astype(jnp.float32), 1, reflect_pad)
+        mw = _interp_matrix_np(w_out, w_in, False)
+        if reflect_pad:
+            import numpy as np
+            mw = mw[np.asarray(_reflect_rows(w_out, reflect_pad))]
+        return jnp.einsum("ow,bhwc->bhoc", jnp.asarray(mw), xh).astype(dtype)
     xf = x.astype(jnp.float32)
 
     import numpy as np

@@ -36,6 +36,22 @@ def test_resize_bilinear(align, in_hw, out_hw):
     np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((9, 13), (18, 26)),      # x2 phase-lerp fast path
+     ((9, 13), (14, 20))],     # interpolation-matrix path
+)
+def test_resize_bilinear_reflect_pad(in_hw, out_hw):
+    x = RNG.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    want = jnp.pad(
+        ops.resize_bilinear(jnp.asarray(x), out_hw, align_corners=False),
+        ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    got = ops.resize_bilinear(jnp.asarray(x), out_hw, align_corners=False,
+                              reflect_pad=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("align", [True, False])
 @pytest.mark.parametrize("padding_mode", ["zeros", "border", "reflection"])
 def test_grid_sample(align, padding_mode):

@@ -173,3 +173,28 @@ def test_trainable_lookup_value_and_grad_match_einsum():
                                    rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gca), np.asarray(gcb),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_projection_matches_separate_conv():
+    """proj= fuses relu(convc1(lookup)) into the kernel via an in-kernel MXU
+    contraction; must match the separate 1x1 conv at bf16 rounding (the fused
+    form is single-rounded: lookup windows never round-trip bf16 in HBM)."""
+    from cista_flow_tpu.ops import conv as C
+
+    B, H1, W1 = 2, 12, 16
+    rng = np.random.default_rng(3)
+    pyr = _pyramid(rng, B, H1, W1, dtype=jnp.bfloat16)
+    pyr_t = PC.pad_pyramid_t(pyr)
+    coords = CORR.coords_grid(B, H1, W1) + jnp.asarray(
+        rng.standard_normal((B, H1, W1, 2)) * 4.0, jnp.float32)
+
+    proj = C.conv_params(jax.random.PRNGKey(1), 1, 1, 324, 256)
+    proj = {"w": proj["w"].astype(jnp.bfloat16), "b": proj["b"]}
+
+    fused = PC.lookup_corr_pallas(pyr_t, coords, proj=proj)
+    lookup = PC.lookup_corr_pallas(pyr_t, coords)
+    ref = jax.nn.relu(C.apply_conv(proj, lookup.astype(jnp.bfloat16)))
+    assert fused.dtype == jnp.bfloat16 and fused.shape == (B, H1, W1, 256)
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.01)
