@@ -27,14 +27,18 @@ def _norm_init(norm_fn: str, ch: int):
     return {}, {}  # instance / none: parameter-free
 
 
-def _norm_apply(norm_fn: str, p, st, x, train, num_groups=8):
+def _norm_apply(norm_fn: str, p, st, x, train, num_groups=8, relu=False):
+    """Norm + (optionally) the trailing relu; the instance path fuses the
+    relu into its Pallas kernel (ops/pallas_norm.py)."""
     if norm_fn == "batch":
-        return C.batch_norm(p, st, x, train)
-    if norm_fn == "instance":
-        return C.instance_norm(x), st
-    if norm_fn == "group":
-        return C.group_norm(p, x, num_groups), st
-    return x, st
+        y, st = C.batch_norm(p, st, x, train)
+    elif norm_fn == "instance":
+        return C.instance_norm(x, relu=relu), st
+    elif norm_fn == "group":
+        y = C.group_norm(p, x, num_groups)
+    else:
+        y = x
+    return (jax.nn.relu(y) if relu else y), st
 
 
 # ------------------------- ResidualBlock ------------------------------------
@@ -55,11 +59,11 @@ def residual_block_init(key, cin, cout, norm_fn, stride=1):
 def residual_block(p, st, x, norm_fn, stride=1, train=False):
     ng = max(p["conv1"]["w"].shape[-1] // 8, 1)
     y = C.apply_conv(p["conv1"], x, stride=stride, padding=1)
-    y, n1 = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}), y, train, ng)
-    y = jax.nn.relu(y)
+    y, n1 = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}), y, train, ng,
+                        relu=True)
     y = C.apply_conv(p["conv2"], y, padding=1)
-    y, n2 = _norm_apply(norm_fn, p["norm2"], st.get("norm2", {}), y, train, ng)
-    y = jax.nn.relu(y)
+    y, n2 = _norm_apply(norm_fn, p["norm2"], st.get("norm2", {}), y, train, ng,
+                        relu=True)
     new_st = {"norm1": n1, "norm2": n2}
     if "down" in p:
         x = C.apply_conv(p["down"], x, stride=stride)
@@ -89,8 +93,8 @@ def basic_encoder(p, st, x, norm_fn, ds=8, train=False):
     new_st = {}
     stride1 = 2 if ds == 8 else 1
     y = C.apply_conv(p["conv1"], x, stride=stride1, padding=3)
-    y, new_st["norm1"] = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}), y, train)
-    y = jax.nn.relu(y)
+    y, new_st["norm1"] = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}),
+                                     y, train, relu=True)
     strides = {1: 1, 2: 2, 3: 2}
     for i in (1, 2, 3):
         y, new_st[f"layer{i}a"] = residual_block(
@@ -122,14 +126,14 @@ def bottleneck_block_init(key, cin, cout, norm_fn, stride=1):
 def bottleneck_block(p, st, x, norm_fn, stride=1, train=False):
     ng = max(p["conv3"]["w"].shape[-1] // 8, 1)
     y = C.apply_conv(p["conv1"], x)
-    y, n1 = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}), y, train, ng)
-    y = jax.nn.relu(y)
+    y, n1 = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}), y, train, ng,
+                        relu=True)
     y = C.apply_conv(p["conv2"], y, stride=stride, padding=1)
-    y, n2 = _norm_apply(norm_fn, p["norm2"], st.get("norm2", {}), y, train, ng)
-    y = jax.nn.relu(y)
+    y, n2 = _norm_apply(norm_fn, p["norm2"], st.get("norm2", {}), y, train, ng,
+                        relu=True)
     y = C.apply_conv(p["conv3"], y)
-    y, n3 = _norm_apply(norm_fn, p["norm3"], st.get("norm3", {}), y, train, ng)
-    y = jax.nn.relu(y)
+    y, n3 = _norm_apply(norm_fn, p["norm3"], st.get("norm3", {}), y, train, ng,
+                        relu=True)
     new_st = {"norm1": n1, "norm2": n2, "norm3": n3}
     if "down" in p:
         x = C.apply_conv(p["down"], x, stride=stride)
@@ -159,8 +163,7 @@ def small_encoder(p, st, x, norm_fn, train=False):
     new_st = {}
     y = C.apply_conv(p["conv1"], x, stride=2, padding=3)
     y, new_st["norm1"] = _norm_apply(norm_fn, p["norm1"], st.get("norm1", {}),
-                                     y, train)
-    y = jax.nn.relu(y)
+                                     y, train, relu=True)
     strides = {1: 1, 2: 2, 3: 2}
     for i in (1, 2, 3):
         y, new_st[f"layer{i}a"] = bottleneck_block(

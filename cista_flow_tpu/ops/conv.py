@@ -306,13 +306,21 @@ def batch_norm(
     return y, new_state
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """InstanceNorm2d with torch defaults (affine=False, no running stats).
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  relu: bool = False) -> jnp.ndarray:
+    """InstanceNorm2d with torch defaults (affine=False, no running stats),
+    with an optionally fused trailing relu (``relu=True``).
 
-    bf16 serving computes the statistics as ones-vector MXU contractions
-    (sum and sum-of-squares in one f32-accumulated pass each) instead of
-    XLA reduce ops — measured A/B in the flagship graph (PERF.md). f32
-    keeps the two-pass mean/var form (exact torch-parity path)."""
+    bf16 on TPU dispatches to a Pallas kernel that keeps each sample
+    VMEM-resident (one HBM round trip for stats + normalize + relu,
+    ops/pallas_norm.py); bf16 elsewhere computes the statistics as
+    ones-vector MXU contractions (sum and sum-of-squares in one
+    f32-accumulated pass each) instead of XLA reduce ops — measured A/B
+    in the flagship graph (PERF.md). f32 keeps the two-pass mean/var form
+    (exact torch-parity path)."""
+    from . import pallas_norm as _pnorm
+    if _pnorm.supported(x):
+        return _pnorm.instance_norm_fused(x, eps, relu)
     if x.dtype == jnp.bfloat16 and _NORM_DOT:
         b, h, w, c = x.shape
         x2 = x.reshape(b, h * w, c)
@@ -326,12 +334,14 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
         mean = s1 / n
         var = jnp.maximum(s2 / n - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + eps)
-        return ((x - mean[:, None, None, :].astype(x.dtype))
-                * inv[:, None, None, :].astype(x.dtype))
+        y = ((x - mean[:, None, None, :].astype(x.dtype))
+             * inv[:, None, None, :].astype(x.dtype))
+        return jax.nn.relu(y) if relu else y
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.var(xf, axis=(1, 2), keepdims=True)
-    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return jax.nn.relu(y) if relu else y
 
 
 def group_norm_params(c: int) -> dict:

@@ -1,0 +1,130 @@
+"""Pallas TPU kernel: fused InstanceNorm2d (+ optional relu).
+
+The flow-net encoders (nn/encoders.py; ref: DCEIFlow/core/backbone/
+raft_encoder.py:125-279) run ~30 parameter-free instance norms per step.
+As XLA fusions the stats pass materializes the squared operand and reads
+the conv output twice, and the normalize(+relu) apply is a third full
+pass — measured ~5.8 ms/step at flagship shapes where the HBM floor is
+~0.6 ms. This kernel keeps each sample's (H*W, C) slab VMEM-resident:
+one read, stats as f32-accumulated MXU ones-dots, normalize + relu in
+registers, one write.
+
+Numerics match ops/conv.py's bf16 ``_NORM_DOT`` path (bf16 x*x operand,
+f32 accumulation, one-pass variance, bf16 mean/inv broadcast). The
+custom VJP recomputes stats in f32 and applies the standard instance-norm
+adjoint, so the kernel stays usable under autodiff (mixed-precision
+training differentiates through the flow-net norms).
+
+VERDICT (chip-measured, default OFF — CISTA_PALLAS_NORM=1 to opt in):
+e2e NEGATIVE, 507 vs 588 fps flagship. The kernel itself is exact and
+fast, but the pallas_call boundary forces relayout copies on the
+surrounding convs ([32,96,128,64] conv-adjacent time 2.9 -> 10.7 ms) and
+unfuses the residual adds — the same failure mode as ops/pallas_conv.py.
+A self-Gram s2 (diag of dot(x,x), no squared-operand materialization)
+was also measured: 529 fps — 32 batched 64x64 GEMMs are latency-bound.
+The shipped stats stay the ones-dot formulation in ops/conv.py.
+"""
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_ENABLED = _os.environ.get("CISTA_PALLAS_NORM", "0") == "1"
+_VMEM_CAP = 4 * 1024 * 1024  # per-sample slab budget (bytes)
+
+
+def _chunk(hw: int) -> int:
+    """Largest divisor of hw that is <= 2048 and a multiple of 16 (keeps
+    per-chunk temporaries small so the slab fits scoped VMEM)."""
+    if hw <= 2048:
+        return hw
+    for ck in range(2048, 15, -16):
+        if hw % ck == 0:
+            return ck
+    return 0
+
+
+def supported(x: jnp.ndarray) -> bool:
+    if x.ndim != 4 or x.dtype != jnp.bfloat16 or not _ENABLED:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    b, h, w, c = x.shape
+    hw = h * w
+    return hw % 16 == 0 and hw * c * 2 <= _VMEM_CAP and _chunk(hw) > 0
+
+
+def _kernel(n: float, eps: float, relu: bool, ck: int, x_ref, o_ref):
+    hw, c = x_ref.shape[1], x_ref.shape[2]
+    dn = (((1,), (0,)), ((), ()))
+    dt = x_ref.dtype
+    s1 = jnp.zeros((1, c), jnp.float32)
+    s2 = jnp.zeros((1, c), jnp.float32)
+    ones = jnp.ones((1, ck), dt)
+    for i in range(hw // ck):
+        xc = x_ref[0, i * ck:(i + 1) * ck, :]
+        s1 += jax.lax.dot_general(ones, xc, dn,
+                                  preferred_element_type=jnp.float32)
+        s2 += jax.lax.dot_general(ones, xc * xc, dn,
+                                  preferred_element_type=jnp.float32)
+    mean = s1 / n                                   # (1, C) f32
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mb = mean.astype(dt)
+    ib = inv.astype(dt)
+    for i in range(hw // ck):
+        y = (x_ref[0, i * ck:(i + 1) * ck, :] - mb) * ib
+        if relu:
+            y = jnp.maximum(y, jnp.zeros((), dt))
+        o_ref[0, i * ck:(i + 1) * ck, :] = y
+
+
+def _instance_norm_pallas(x: jnp.ndarray, eps: float, relu: bool,
+                          interpret: bool = False) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    hw = h * w
+    xr = x.reshape(b, hw, c)
+    out = pl.pallas_call(
+        functools.partial(_kernel, float(hw), eps, relu, _chunk(hw)),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        interpret=interpret,
+    )(xr)
+    return out.reshape(b, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def instance_norm_fused(x: jnp.ndarray, eps: float = 1e-5,
+                        relu: bool = False,
+                        interpret: bool = False) -> jnp.ndarray:
+    """relu(instance_norm(x)) in one HBM round trip. Caller guarantees
+    ``supported(x)``; see ops/conv.py:instance_norm for the dispatcher."""
+    return _instance_norm_pallas(x, eps, relu, interpret)
+
+
+def _fwd(x, eps, relu, interpret):
+    return instance_norm_fused(x, eps, relu, interpret), x
+
+
+def _bwd(eps, relu, interpret, x, ct):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv
+    g = ct.astype(jnp.float32)
+    if relu:
+        g = jnp.where(xhat > 0, g, 0.0)
+    gm = jnp.mean(g, axis=(1, 2), keepdims=True)
+    gxm = jnp.mean(g * xhat, axis=(1, 2), keepdims=True)
+    dx = inv * (g - gm - xhat * gxm)
+    return (dx.astype(x.dtype),)
+
+
+instance_norm_fused.defvjp(_fwd, _bwd)
