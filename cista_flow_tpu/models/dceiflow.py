@@ -82,6 +82,10 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
 
     fuse_proj = fast and PC.FUSE_PROJ
 
+    # event motion features are identical in every GRU iteration; computed
+    # once here since XLA cannot hoist them out of the scan body
+    ema = G.precompute_update_ema(params["update"], emap)
+
     def step(carry, _):
         net, coords1 = carry
         coords1 = jax.lax.stop_gradient(coords1)
@@ -97,14 +101,18 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
             c = CORR.lookup_corr(pyr, coords1, CORR_RADIUS)
         flow = coords1 - coords0
         net, _, delta = G.basic_update_block_event(
-            params["update"], net, inp, c, emap, flow,
-            corr_projected=fuse_proj)
+            params["update"], net, inp, c, ema, flow,
+            corr_projected=fuse_proj, ema_precomputed=True)
         coords1 = coords1 + delta
         out = upflow(coords1 - coords0, ds) if collect_preds else ()
         return (net, coords1), out
 
+    # serving (collect_preds=False) fully unrolls: cross-iteration fusion and
+    # no per-iteration carry copies; training keeps the rolled scan (graph
+    # size drives the remote-compile ceiling for large BPTT, PERF.md)
     (net, coords1), flow_preds = jax.lax.scan(
-        step, (net, coords1), None, length=iters)
+        step, (net, coords1), None, length=iters,
+        unroll=iters if not collect_preds else 1)
     if not collect_preds:
         flow_preds = upflow(coords1 - coords0, ds)[None]
     return net, coords1, flow_preds

@@ -105,8 +105,11 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
         out = convex_upsample(coords1 - coords0, mask, factor=8)             if collect_preds else ()
         return (net, coords1, mask), out
 
+    # serving fully unrolls the GRU iterations (cross-iteration fusion, no
+    # carry copies); training keeps the rolled scan for compile-size headroom
     (net, coords1, mask), flow_preds = jax.lax.scan(
-        step, (net, coords1, mask0), None, length=iters)
+        step, (net, coords1, mask0), None, length=iters,
+        unroll=iters if not collect_preds else 1)
     if not collect_preds:
         flow_preds = convex_upsample(coords1 - coords0, mask, factor=8)[None]
 

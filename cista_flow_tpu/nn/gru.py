@@ -94,19 +94,35 @@ def basic_motion_encoder_event_init(key, cor_planes):
     }
 
 
-def basic_motion_encoder_event(p, flow, emap, corr, corr_projected=False):
+def encode_event_motion_features(p, emap):
+    """conve1/conve2 branch of the event motion encoder. The event features
+    are invariant across the GRU iterations, and XLA cannot hoist work out
+    of a ``lax.scan`` body — callers compute this ONCE before the scan and
+    pass the result as ``ema`` (ref runs it per iteration:
+    with_event_updater.py:99-100)."""
+    ema = jax.nn.relu(C.apply_conv(p["conve1"], emap))
+    return jax.nn.relu(C.apply_conv(p["conve2"], ema, padding=1))
+
+
+def basic_motion_encoder_event(p, flow, emap, corr, corr_projected=False,
+                               ema_precomputed=False):
     # corr_projected: corr already carries relu(convc1(lookup)) — fused into
     # the Pallas lookup kernel on the serving path (ops/pallas_corr.py).
     cor = corr if corr_projected else jax.nn.relu(
         C.apply_conv(p["convc1"], corr))
     cor = jax.nn.relu(C.apply_conv(p["convc2"], cor, padding=1))
-    ema = jax.nn.relu(C.apply_conv(p["conve1"], emap))
-    ema = jax.nn.relu(C.apply_conv(p["conve2"], ema, padding=1))
+    ema = emap if ema_precomputed else encode_event_motion_features(p, emap)
     flo = jax.nn.relu(C.apply_conv(p["convf1"], flow, padding=3))
     flo = jax.nn.relu(C.apply_conv(p["convf2"], flo, padding=1))
     out = jax.nn.relu(C.apply_conv(
         p["conv"], jnp.concatenate([cor, ema, flo], axis=-1), padding=1))
     return jnp.concatenate([out, flow], axis=-1)
+
+
+def precompute_update_ema(p, emap):
+    """Scan-invariant event features for basic_update_block_event, in the
+    update block's compute dtype."""
+    return encode_event_motion_features(p["encoder"], emap)
 
 
 def basic_motion_encoder_init(key, cor_planes):
@@ -157,14 +173,14 @@ def basic_update_block_event_init(key, cor_planes, hidden_dim=128):
 
 
 def basic_update_block_event(p, net, inp, corr, emap, flow,
-                             corr_projected=False):
+                             corr_projected=False, ema_precomputed=False):
     # corr is built in fp32 (MXU accumulate); flows stay fp32 for sub-pixel
     # accuracy — cast both to the compute dtype at the block boundary so the
     # scan carry keeps one dtype in bf16 mode.
     corr = corr.astype(net.dtype)
     flow = flow.astype(net.dtype)
     motion = basic_motion_encoder_event(p["encoder"], flow, emap, corr,
-                                        corr_projected)
+                                        corr_projected, ema_precomputed)
     net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
     return net, None, flow_head(p["flow_head"], net)
 
