@@ -29,7 +29,7 @@ def main():
     from cista_flow_tpu.configs import Config
     from cista_flow_tpu.models import composite
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = os.environ.get("BENCH_MODEL", "cista-eiflow")
