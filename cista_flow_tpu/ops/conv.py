@@ -321,6 +321,8 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
     from . import pallas_norm as _pnorm
     if _pnorm.supported(x):
         return _pnorm.instance_norm_fused(x, eps, relu)
+    if _pnorm.stats_supported(x):
+        return _pnorm.instance_norm_statskernel(x, eps, relu)
     if x.dtype == jnp.bfloat16 and _NORM_DOT:
         b, h, w, c = x.shape
         x2 = x.reshape(b, h * w, c)

@@ -57,3 +57,30 @@ def test_chunking_covers_model_shapes():
     for hw in (96 * 128, 48 * 64, 24 * 32, 90 * 120):
         ck = pallas_norm._chunk(hw)
         assert ck > 0 and hw % ck == 0 and ck <= 2048
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_stats_kernel_matches_reference(relu):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 24, 32, 64)) * 2 + 0.5,
+                    jnp.bfloat16)
+    got = pallas_norm.instance_norm_statskernel(x, 1e-5, relu, True)
+    ref = _ref(x, relu=relu)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               atol=0.05)
+
+
+def test_stats_kernel_vjp_matches_reference_grad():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 64)), jnp.bfloat16)
+
+    def f_k(x):
+        y = pallas_norm.instance_norm_statskernel(x, 1e-5, True, True)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+    def f_r(x):
+        return jnp.sum(jnp.sin(_ref(x, relu=True)))
+
+    gk = np.asarray(jax.grad(f_k)(x), np.float32)
+    gr = np.asarray(jax.grad(f_r)(x), np.float32)
+    np.testing.assert_allclose(gk, gr, atol=0.05)
