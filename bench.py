@@ -93,6 +93,23 @@ def main():
             body, (rec0, state, flow_chain), xs)
         return rec, state, flow_chain, recs
 
+    # Optional XLA/TPU compiler options, "k=v,k=v" (ship with the computation
+    # through the axon remote-compile tunnel; client-side XLA_FLAGS cannot
+    # reach the TPU backend here).
+    opts = os.environ.get("CISTA_XLA_OPTS", "")
+    if opts:
+        codict = dict(kv.split("=", 1) for kv in opts.split(",") if kv)
+        inner = run_chunk.__wrapped__
+
+        def run_chunk(params, mstate, events_seq, rec0, state, flow_chain,
+                      _cache={}):
+            if "c" not in _cache:
+                _cache["c"] = jax.jit(inner).lower(
+                    params, mstate, events_seq, rec0, state,
+                    flow_chain).compile(compiler_options=codict)
+            return _cache["c"](params, mstate, events_seq, rec0, state,
+                               flow_chain)
+
     rng = np.random.default_rng(0)
     events_seq = jnp.asarray(
         rng.standard_normal((chunk, batch, h, w, cfg.num_bins)), cdt)
