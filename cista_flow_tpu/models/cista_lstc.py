@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..nn import layers as L
 from ..ops import conv as C
 from ..ops import pallas_ista2 as PI
+from ..ops import s2d as S2D
 
 
 class CistaState(NamedTuple):
@@ -74,10 +75,23 @@ def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
         kz.at[:, :, bins:].set(wi["w"]),
     ], axis=-1)
     b_head = jnp.concatenate([we["b"], wi["b"]])
-    x1 = L.conv_layer({"w": k_head, "b": b_head},
-                      jnp.concatenate([events, prev_image], axis=-1),
-                      padding=1)
-    x1 = L.conv_layer(params["W0"], x1, stride=2, padding=1)
+    head_in = jnp.concatenate([events, prev_image], axis=-1)
+
+    # Full-res segment in space-to-depth form on the bf16 TPU path: the
+    # head conv (Cin=6) and W0 (stride 2) are MXU-pass-bound at full res
+    # (~2-5% MFU); block-recomposed convs with phases on lanes run the
+    # same math 3-4x faster and W0's output exits the s2d domain exactly
+    # at the model's own downsample — no unpack (ops/s2d.py, PERF.md).
+    if (S2D.ENABLED and head_in.dtype == jnp.bfloat16
+            and head_in.shape[1] % 2 == 0 and head_in.shape[2] % 2 == 0
+            and jax.default_backend() == "tpu"):
+        hb = S2D.conv3x3_reflect_s2d(
+            S2D.space_to_depth(head_in), k_head, b_head)
+        x1 = S2D.conv3x3s2_reflect_s2d_to_plain(
+            hb, params["W0"]["w"], params["W0"]["b"])
+    else:
+        x1 = L.conv_layer({"w": k_head, "b": b_head}, head_in, padding=1)
+        x1 = L.conv_layer(params["W0"], x1, stride=2, padding=1)
 
     z, lstc_cell = L.conv_lstc(params["P0"], x1, state.sparse_code, state.lstc_cell)
 

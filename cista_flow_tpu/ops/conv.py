@@ -49,6 +49,12 @@ def conv2d(
     if groups == 1 and cout <= 4 and cin_g >= 16:
         return _conv_tapsum(x, w, b, stride, (ph, pw), padding_mode)
 
+    # (A tiny-Cin im2col fast path — patches on lanes, one deep dot — was
+    # measured CATASTROPHIC in-graph: 24.9 ms/step vs ~1 ms for the convs
+    # it replaced; the non-128-aligned lane concat repacks every patch.
+    # Tiny-Cin pass-boundedness is attacked structurally instead, via the
+    # space-to-depth head path in ops/s2d.py.)
+
     # * square C->C 3x3 convs MAY route to the im2col Pallas kernel
     #   (contraction depth 9C fills the MXU where XLA's per-tap contraction
     #   runs at ~(C/128)^2 MFU): measured 1.4x at 64ch, 1.1x at 128ch
