@@ -113,7 +113,20 @@ def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
     hidden, cell = L.conv_lstm(params["Dg"]["lstm"], rec, (state.dg_hidden, state.dg_cell))
 
     _, h, w, _ = events.shape
-    rec = L.upsample_conv_layer(params["upsamp"], hidden, out_hw=(h, w), activation="relu")
-    rec = jax.nn.sigmoid(L.conv_layer(params["final"], rec, padding=1))
+    if (S2D.DECODER and hidden.dtype == jnp.bfloat16
+            and h == 2 * hidden.shape[1] and w == 2 * hidden.shape[2]
+            and jax.default_backend() == "tpu"):
+        # decoder in s2d form: phase-plane x2 resize (no full-res
+        # interleave) -> VALID 2x2 block conv -> final 3x3 block conv ->
+        # sigmoid -> one cheap depth_to_space on the 1-channel output
+        rec_b = jax.nn.relu(S2D.upsample_conv_s2d(
+            hidden, params["upsamp"]["w"], params["upsamp"]["b"]))
+        rec_b = S2D.conv3x3_reflect_s2d(
+            rec_b, params["final"]["w"], params["final"]["b"])
+        rec = S2D.depth_to_space(jax.nn.sigmoid(rec_b))
+    else:
+        rec = L.upsample_conv_layer(params["upsamp"], hidden, out_hw=(h, w),
+                                    activation="relu")
+        rec = jax.nn.sigmoid(L.conv_layer(params["final"], rec, padding=1))
 
     return rec, CistaState(lstc_cell, sparse_code, hidden, cell)

@@ -102,3 +102,27 @@ def test_cista_s2d_gate_matches_plain_path():
     # and the full apply is unchanged on the default path
     rec2, _ = cista_lstc.apply(params, ev, img, state)
     np.testing.assert_array_equal(np.asarray(rec_ref), np.asarray(rec2))
+
+
+def test_resize_x2_reflect_s2d_matches_matrix_resize():
+    from cista_flow_tpu.ops import resize
+    rng = np.random.default_rng(5)
+    x = _rand(rng, (2, 10, 12, 16))
+    ref = resize.resize_bilinear(x, (20, 24), align_corners=False,
+                                 reflect_pad=1)
+    got = s2d.depth_to_space(s2d.resize_x2_reflect_s2d(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_conv_s2d_matches_upsample_conv_layer():
+    from cista_flow_tpu.nn import layers as L
+    rng = np.random.default_rng(6)
+    x = _rand(rng, (2, 10, 12, 16))
+    w = _rand(rng, (3, 3, 16, 16))
+    b = _rand(rng, (16,))
+    ref = L.upsample_conv_layer({"w": w, "b": b}, x, out_hw=(20, 24),
+                                activation="relu")
+    got = s2d.depth_to_space(jax.nn.relu(s2d.upsample_conv_s2d(x, w, b)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
