@@ -119,12 +119,15 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
 
 
 def _single_direction(params, state, emap, fmap1, image1_pad, cfg, iters,
-                      flow_init, train, collect_preds=True):
+                      flow_init, train, collect_preds=True, cnet_pre=None):
     pseudo_fmap2 = _fusion(params["fusion"], fmap1, emap)
     pyr = CORR.build_corr_pyramid(fmap1, pseudo_fmap2, CORR_LEVELS)
 
-    cnet, cstate = E.basic_encoder(
-        params["cnet"], state["cnet"], image1_pad, "batch", train=train)
+    if cnet_pre is not None:
+        cnet, cstate = cnet_pre, state["cnet"]
+    else:
+        cnet, cstate = E.basic_encoder(
+            params["cnet"], state["cnet"], image1_pad, "batch", train=train)
     net = jnp.tanh(cnet[..., :HDIM])
     inp = jax.nn.relu(cnet[..., HDIM:])
 
@@ -153,24 +156,41 @@ def apply(params, state, event_voxel, image1, cfg, image2=None,
     im1 = padder.pad(2.0 * image1 - 1.0)
     ev = padder.pad(event_voxel)
 
-    emap, estate = E.basic_encoder(
-        params["enet"], state["enet"], ev, "instance", train=train)
-
-    if image2 is not None:
-        im2 = padder.pad(2.0 * image2 - 1.0)
-        B = im1.shape[0]
-        fmaps, fstate = E.basic_encoder(
-            params["fnet"], state["fnet"],
-            jnp.concatenate([im1, im2], axis=0), "instance", train=train)
-        fmap1, fmap2 = fmaps[:B], fmaps[B:]
-    else:
-        fmap1, fstate = E.basic_encoder(
-            params["fnet"], state["fnet"], im1, "instance", train=train)
+    cnet_pre = None
+    if (E.TRIO_MODE and not train and image2 is None
+            and im1.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        # serving: encoders merged into one block-diagonal tower (exact;
+        # nn/encoders.py basic_encoder_multi, PERF.md "Encoder trio").
+        # "pair" merges fnet+enet only — the 3-tower dense merge measured
+        # e2e-negative (MAC inflation outruns the MFU gain past 2 towers).
+        if E.TRIO_MODE == "trio":
+            fmap1, emap, cnet_pre = E.basic_encoder_trio(
+                params["fnet"], params["enet"], params["cnet"],
+                state["cnet"], im1, ev, im1)
+        else:
+            fmap1, emap = E.basic_encoder_multi(
+                [params["fnet"], params["enet"]], None, None, [im1, ev])
+        estate, fstate = state["enet"], state["fnet"]
         fmap2 = None
+    else:
+        emap, estate = E.basic_encoder(
+            params["enet"], state["enet"], ev, "instance", train=train)
+        if image2 is not None:
+            im2 = padder.pad(2.0 * image2 - 1.0)
+            B = im1.shape[0]
+            fmaps, fstate = E.basic_encoder(
+                params["fnet"], state["fnet"],
+                jnp.concatenate([im1, im2], axis=0), "instance", train=train)
+            fmap1, fmap2 = fmaps[:B], fmaps[B:]
+        else:
+            fmap1, fstate = E.basic_encoder(
+                params["fnet"], state["fnet"], im1, "instance", train=train)
+            fmap2 = None
 
     flow_lowres, flow_preds, pseudo_fmap2, cstate = _single_direction(
         params, state, emap, fmap1, im1, cfg, iters, flow_init, train,
-        collect_preds=collect_preds)
+        collect_preds=collect_preds, cnet_pre=cnet_pre)
     flow_final = padder.unpad(flow_preds[-1])
 
     out = {

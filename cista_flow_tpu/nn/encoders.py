@@ -17,6 +17,13 @@ from ..ops import conv as C
 
 KAIMING = "kaiming_normal_fan_out_relu"
 
+import os as _os
+
+# "" (off) | "pair" (merge fnet+enet) | "trio" (also cnet; measured
+# e2e-negative — see PERF.md)
+TRIO_MODE = {"0": "", "1": "trio", "pair": "pair", "trio": "trio",
+             "": ""}[_os.environ.get("CISTA_TRIO", "pair")]
+
 
 def _norm_init(norm_fn: str, ch: int):
     """(params, state) for one norm site."""
@@ -103,6 +110,134 @@ def basic_encoder(p, st, x, norm_fn, ds=8, train=False):
             p[f"layer{i}b"], st.get(f"layer{i}b", {}), y, norm_fn, 1, train)
     y = C.apply_conv(p["conv2"], y)
     return y, new_st
+
+
+# ------------------------- Fused encoder trio (serving) ---------------------
+# DCEIFlow's three BasicEncoders (fnet: instance-norm on the image, enet:
+# instance-norm on the voxels, cnet: batch-norm context — same architecture,
+# same spatial shapes, independent weights) run as ONE channel-concat tower
+# with BLOCK-DIAGONAL dense kernels. Chip-measured: a dense 128-ch conv runs
+# at ~45% MFU vs ~15% for a 64-ch conv, so the 4x dense-MAC inflation of the
+# zero blocks still wins ~1.5x (PERF.md "Encoder trio"); the per-channel
+# norms merge exactly (instance stats on the fnet+enet slice, the eval-mode
+# batch norm is a per-channel affine). Exact vs the separate towers; eval
+# only (training batch-norm needs its own pass structure).
+# ref towers: DCEIFlow/DCEIFlow.py:57-66 / raft_encoder.py:125-203.
+
+
+def _blockdiag_w(ws):
+    """Block-diagonal HWIO kernel over the (cin, cout) planes."""
+    import jax.numpy as jnp
+    cins = [w.shape[2] for w in ws]
+    cols = []
+    for i, w in enumerate(ws):
+        before, after = sum(cins[:i]), sum(cins[i + 1:])
+        cols.append(jnp.pad(w, ((0, 0), (0, 0), (before, after), (0, 0))))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _trio_conv(ps, x, stride=1, padding=0):
+    import jax.numpy as jnp
+    w = _blockdiag_w([p["w"] for p in ps])
+    b = jnp.concatenate([p["b"] for p in ps])
+    return C.conv2d(x, w, b, stride=stride, padding=padding)
+
+
+def _trio_norm(x, c_each, bn_p, bn_st, eps=1e-5, relu=False):
+    """Merged norm on a (B,H,W,n*c) tower-concat map: instance norm on the
+    leading instance-tower channels (per-sample-per-channel, so the merge
+    is exact), eval batch-norm affine on the trailing c when ``bn_p`` is
+    given. One fused elementwise apply. Numerics match ops/conv.py's bf16
+    ones-dot / f32 two-pass instance-norm paths and C.batch_norm eval."""
+    import jax.numpy as jnp
+    b, h, w_, ctot = x.shape
+    cie = ctot - c_each if bn_p is not None else ctot
+    x_ie = x[..., :cie] if bn_p is not None else x
+    if x.dtype == jnp.bfloat16:
+        x2 = x_ie.reshape(b, h * w_, cie)
+        ones = jnp.ones((h * w_,), x.dtype)
+        dn = (((0,), (1,)), ((), ()))
+        s1 = jax.lax.dot_general(ones, x2, dn,
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(ones, x2 * x2, dn,
+                                 preferred_element_type=jnp.float32)
+        n = float(h * w_)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    else:
+        xf = x_ie.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2))
+        var = jnp.var(xf, axis=(1, 2))
+    inv = jax.lax.rsqrt(var + eps)                       # (B, cie)
+    if bn_p is not None:
+        bn_inv = jax.lax.rsqrt(bn_st["var"] + eps) * bn_p["scale"]   # (c,)
+        bcast = lambda v: jnp.broadcast_to(v[None], (b, c_each))
+        m = jnp.concatenate([mean, bcast(bn_st["mean"])], axis=-1)
+        s = jnp.concatenate([inv, bcast(bn_inv)], axis=-1)
+        o = jnp.concatenate([jnp.zeros_like(mean), bcast(bn_p["bias"])],
+                            axis=-1)
+        y = ((x - m[:, None, None, :].astype(x.dtype))
+             * s[:, None, None, :].astype(x.dtype)
+             + o[:, None, None, :].astype(x.dtype))
+    else:
+        y = ((x - mean[:, None, None, :].astype(x.dtype))
+             * inv[:, None, None, :].astype(x.dtype))
+    return jax.nn.relu(y) if relu else y
+
+
+def _trio_residual_block(ps, pc, st_c, x, c_out, stride=1):
+    """ps: list of instance-norm tower param dicts; pc/st_c: optional
+    batch-norm tower params+state appended as the LAST tower."""
+    allp = ps + ([pc] if pc is not None else [])
+    np1 = (pc["norm1"], st_c["norm1"]) if pc is not None else (None, None)
+    np2 = (pc["norm2"], st_c["norm2"]) if pc is not None else (None, None)
+    y = _trio_conv([p["conv1"] for p in allp], x, stride=stride, padding=1)
+    y = _trio_norm(y, c_out, np1[0], np1[1], relu=True)
+    y = _trio_conv([p["conv2"] for p in allp], y, padding=1)
+    y = _trio_norm(y, c_out, np2[0], np2[1], relu=True)
+    if "down" in allp[0]:
+        np3 = (pc["norm3"], st_c["norm3"]) if pc is not None else (None, None)
+        x = _trio_conv([p["down"] for p in allp], x, stride=stride)
+        x = _trio_norm(x, c_out, np3[0], np3[1])
+    return jax.nn.relu(x + y)
+
+
+def basic_encoder_multi(ps, pc, st_c, xs, ds=8):
+    """Run several BasicEncoders as one block-diagonal tower.
+
+    ps: instance-norm tower params (e.g. [fnet, enet]); pc/st_c: optional
+    batch-norm tower (cnet) run in EVAL mode as the last tower; xs: the
+    matching inputs (arbitrary channel counts). Returns one output map per
+    tower, each (B, H/ds, W/ds, output_dim)."""
+    import jax.numpy as jnp
+    allp = ps + ([pc] if pc is not None else [])
+    x = jnp.concatenate(xs, axis=-1)
+    stride1 = 2 if ds == 8 else 1
+    y = _trio_conv([p["conv1"] for p in allp], x, stride=stride1, padding=3)
+    n1 = (pc["norm1"], st_c["norm1"]) if pc is not None else (None, None)
+    y = _trio_norm(y, 64, n1[0], n1[1], relu=True)
+    widths = {1: 64, 2: 96, 3: 128}
+    strides = {1: 1, 2: 2, 3: 2}
+    for i in (1, 2, 3):
+        y = _trio_residual_block(
+            [p[f"layer{i}a"] for p in ps],
+            pc[f"layer{i}a"] if pc is not None else None,
+            st_c[f"layer{i}a"] if pc is not None else None,
+            y, widths[i], strides[i])
+        y = _trio_residual_block(
+            [p[f"layer{i}b"] for p in ps],
+            pc[f"layer{i}b"] if pc is not None else None,
+            st_c[f"layer{i}b"] if pc is not None else None,
+            y, widths[i], 1)
+    y = _trio_conv([p["conv2"] for p in allp], y)
+    od = allp[0]["conv2"]["w"].shape[-1]
+    return [y[..., i * od:(i + 1) * od] for i in range(len(allp))]
+
+
+def basic_encoder_trio(p_f, p_e, p_c, st_c, x_f, x_e, x_c, ds=8):
+    """fnet + enet + cnet(batch, EVAL) as one block-diagonal tower."""
+    return tuple(basic_encoder_multi([p_f, p_e], p_c, st_c,
+                                     [x_f, x_e, x_c], ds))
 
 
 # ------------------------- BottleneckBlock / SmallEncoder -------------------

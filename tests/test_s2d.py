@@ -126,3 +126,30 @@ def test_upsample_conv_s2d_matches_upsample_conv_layer():
     got = s2d.depth_to_space(jax.nn.relu(s2d.upsample_conv_s2d(x, w, b)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_pair_and_trio_match_separate_towers():
+    from cista_flow_tpu.nn import encoders as E
+    rng = np.random.default_rng(7)
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    pf, sf = E.basic_encoder_init(ks[0], 1, 256, "instance")
+    pe, se = E.basic_encoder_init(ks[1], 5, 256, "instance")
+    pc, sc = E.basic_encoder_init(ks[2], 1, 256, "batch")
+    sc = jax.tree_util.tree_map(
+        lambda v: v + jnp.asarray(rng.uniform(0.1, 0.5, v.shape),
+                                  jnp.float32), sc)
+    xf = _rand(rng, (2, 32, 40, 1), 1.0)
+    xe = _rand(rng, (2, 32, 40, 5), 1.0)
+    f_ref, _ = E.basic_encoder(pf, sf, xf, "instance", train=False)
+    e_ref, _ = E.basic_encoder(pe, se, xe, "instance", train=False)
+    c_ref, _ = E.basic_encoder(pc, sc, xf, "batch", train=False)
+    f2, e2 = E.basic_encoder_multi([pf, pe], None, None, [xf, xe])
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e_ref),
+                               rtol=1e-4, atol=1e-4)
+    f3, e3, c3 = E.basic_encoder_trio(pf, pe, pc, sc, xf, xe, xf)
+    np.testing.assert_allclose(np.asarray(f3), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c3), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
