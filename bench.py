@@ -70,10 +70,11 @@ def main():
 
         def body(carry, xs):
             rec, state, chain = carry
-            batch_data = {"event_voxel": xs[0], "rec_img0": rec}
+            batch_data = {"event_voxel": xs[0], "rec_img0": rec,
+                          "event_voxel_s2d": xs[1]}
             kwargs = {}
             if model == "cista-eraft":
-                batch_data["event_voxel_old"] = xs[1]
+                batch_data["event_voxel_old"] = xs[2]
             elif model == "cista-idnet":
                 kwargs["flow_init"] = chain
             rec, batch_flow, state, _ = composite.apply(
@@ -83,12 +84,17 @@ def main():
                 chain = batch_flow["next_flow"]
             return (rec, state, chain), rec
 
-        xs = (events_seq,)
+        # whole-window s2d pack of the voxels for the CISTA head: ONE
+        # amortized transpose instead of one per scan step (DCE'd by XLA
+        # whenever the head's s2d gate is off)
+        from cista_flow_tpu.ops import s2d as S2D
+        ev_s2d = jax.vmap(S2D.space_to_depth)(events_seq)
+        xs = (events_seq, ev_s2d)
         if model == "cista-eraft":
             # previous-window voxels: the shifted stream (first = zeros)
             old = jnp.concatenate([jnp.zeros_like(events_seq[:1]),
                                    events_seq[:-1]], axis=0)
-            xs = (events_seq, old)
+            xs = (events_seq, ev_s2d, old)
         (rec, state, flow_chain), recs = jax.lax.scan(
             body, (rec0, state, flow_chain), xs)
         return rec, state, flow_chain, recs

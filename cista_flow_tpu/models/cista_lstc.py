@@ -57,11 +57,17 @@ def zero_state(batch: int, image_dim, base_channels: int, dtype=jnp.float32) -> 
 
 
 def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
-          state: CistaState, depth: int = 5):
+          state: CistaState, depth: int = 5, events_s2d=None):
     """One reconstruction step.
 
     events: (B, H, W, num_bins) voxel grid; prev_image: (B, H, W, 1) warped
     previous reconstruction. Returns (rec_image (B,H,W,1), new_state).
+
+    ``events_s2d``: optional pre-packed ``space_to_depth(events)``
+    (B, H/2, W/2, 4*bins) — serving loops pack the whole window's voxels in
+    one amortized transpose instead of one per scan step; the head conv's
+    kernel channels are permuted to match (ops/s2d.py cin_perm). Ignored
+    off the s2d fast path.
     """
     # We/Wi fused into ONE conv on the concatenated input with a
     # block-diagonal kernel — exact (reflect padding is per-channel, and the
@@ -85,8 +91,17 @@ def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
     if (S2D.ENABLED and head_in.dtype == jnp.bfloat16
             and head_in.shape[1] % 2 == 0 and head_in.shape[2] % 2 == 0
             and jax.default_backend() == "tpu"):
-        hb = S2D.conv3x3_reflect_s2d(
-            S2D.space_to_depth(head_in), k_head, b_head)
+        if events_s2d is not None:
+            # channels arrive as [s2d(events) | s2d(prev_image)] — permute
+            # the recomposed kernel instead of re-packing the voxels
+            img_b = S2D.space_to_depth(prev_image)
+            xb = jnp.concatenate([events_s2d, img_b], axis=-1)
+            perm = ([p * (bins + 1) + c for p in range(4) for c in range(bins)]
+                    + [p * (bins + 1) + bins for p in range(4)])
+            hb = S2D.conv3x3_reflect_s2d(xb, k_head, b_head, cin_perm=perm)
+        else:
+            hb = S2D.conv3x3_reflect_s2d(
+                S2D.space_to_depth(head_in), k_head, b_head)
         x1 = S2D.conv3x3s2_reflect_s2d_to_plain(
             hb, params["W0"]["w"], params["W0"]["b"])
     else:

@@ -132,8 +132,9 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
 
     # --- warp + reconstruct --------------------------------------------------
     warped_i, state = _warp_inputs(rec_img0, state, flow_final, cfg)
-    i_rec, new_state = cista_lstc.apply(cista_params, events, warped_i, state,
-                                        depth=cfg.depth)
+    i_rec, new_state = cista_lstc.apply(
+        cista_params, events, warped_i, state, depth=cfg.depth,
+        events_s2d=batch_data.get("event_voxel_s2d"))
     return i_rec, batch_flow, new_state, new_model_state
 
 
@@ -172,12 +173,20 @@ def apply_sequence_eraft(params, model_state, voxel_seq, state, cfg,
 
     def body(carry, xs):
         rec_prev, st = carry
-        events, flow = xs
+        events, ev_s2d, flow = xs
         warped_i, st = _warp_inputs(rec_prev, st, flow, cfg)
         rec, st = cista_lstc.apply(params["cista"], events, warped_i, st,
-                                   depth=cfg.depth)
+                                   depth=cfg.depth, events_s2d=ev_s2d)
         return (rec, st), rec
 
+    # pack the whole window's voxels for the CISTA head in ONE amortized
+    # transpose instead of one per scan step (ops/s2d.py)
+    from ..ops import s2d as S2D
+    ev = voxel_seq[1:]
+    ev_s2d = jax.vmap(S2D.space_to_depth)(ev) \
+        if ev.shape[2] % 2 == 0 and ev.shape[3] % 2 == 0 else \
+        jnp.zeros((ev.shape[0], ev.shape[1], ev.shape[2] // 2,
+                   ev.shape[3] // 2, 4 * ev.shape[4]), ev.dtype)
     (rec, state), recs = jax.lax.scan(body, (rec0, state),
-                                      (voxel_seq[1:], flows))
+                                      (ev, ev_s2d, flows))
     return recs, flows, state

@@ -104,11 +104,18 @@ def _recompose_s2d_plain_s2(w3: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv3x3_reflect_s2d(xb: jnp.ndarray, w3: jnp.ndarray,
-                        b: jnp.ndarray | None) -> jnp.ndarray:
+                        b: jnp.ndarray | None,
+                        cin_perm=None) -> jnp.ndarray:
     """Stride-1 reflect-pad-1 3x3 conv, s2d in -> s2d out.
 
-    xb: (B, Hb, Wb, 4*Cin); returns (B, Hb, Wb, 4*Cout)."""
+    xb: (B, Hb, Wb, 4*Cin); returns (B, Hb, Wb, 4*Cout).
+    ``cin_perm``: optional constant permutation when xb's channels are NOT
+    in the canonical (py, px, c) order — w2's cin axis is re-gathered so
+    w2_new[..., t, :] = w2[..., cin_perm[t], :] (e.g. pre-packed event
+    voxels concatenated with a separately packed image plane)."""
     w2 = _recompose_s2d_s2d(w3).astype(xb.dtype)
+    if cin_perm is not None:
+        w2 = w2[:, :, _np.asarray(cin_perm), :]
     xp = jnp.pad(xb, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     out = jax.lax.conv_general_dilated(
         xp, w2, (1, 1), "VALID", dimension_numbers=DIMS)

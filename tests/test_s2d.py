@@ -153,3 +153,23 @@ def test_encoder_pair_and_trio_match_separate_towers():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(c3), np.asarray(c_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_head_conv_with_prepacked_events_matches():
+    """The cin_perm path: [s2d(events) | s2d(img)] channel layout with a
+    permuted kernel equals packing the concatenated tensor."""
+    rng = np.random.default_rng(8)
+    bins = 5
+    ev = _rand(rng, (2, 12, 16, bins), 1.0)
+    img = _rand(rng, (2, 12, 16, 1), 1.0)
+    w = _rand(rng, (3, 3, bins + 1, 16))
+    b = _rand(rng, (16,))
+    ref = s2d.conv3x3_reflect_s2d(
+        s2d.space_to_depth(jnp.concatenate([ev, img], axis=-1)), w, b)
+    xb = jnp.concatenate(
+        [s2d.space_to_depth(ev), s2d.space_to_depth(img)], axis=-1)
+    perm = ([p * (bins + 1) + c for p in range(4) for c in range(bins)]
+            + [p * (bins + 1) + bins for p in range(4)])
+    got = s2d.conv3x3_reflect_s2d(xb, w, b, cin_perm=perm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
