@@ -37,24 +37,45 @@ def init(key, cfg):
 
 
 def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
-          flow_init=None, train: bool = False, collect_preds: bool = True):
-    """voxel_old/new: (B, H, W, num_bins). Returns (out_dict, new_state)."""
+          flow_init=None, train: bool = False, collect_preds: bool = True,
+          encoded=None):
+    """voxel_old/new: (B, H, W, num_bins). Returns (out_dict, new_state).
+
+    ``encoded``: optional precomputed (fmap1, fmap2, cnet) — the
+    time-parallel serving window computes each voxel's features ONCE
+    (consecutive steps share a voxel: fnet(old_t) == fnet(new_{t-1}),
+    so the reference's 2x-batched fnet call does every feature map twice
+    across a window — composite.apply_sequence_eraft)."""
     padder = ImagePadder(cfg.image_dim, min_size=32)
     im1 = padder.pad(voxel_old)
     im2 = padder.pad(voxel_new)
     B, H, W, _ = im1.shape
     h8, w8 = H // 8, W // 8
 
-    # batched like the reference's list trick (one encoder call on both)
-    fmaps, fstate = E.basic_encoder(
-        params["fnet"], state["fnet"],
-        jnp.concatenate([im1, im2], axis=0), "instance", train=train)
-    fmap1, fmap2 = fmaps[:B], fmaps[B:]
+    if encoded is not None:
+        fmap1, fmap2, cnet = encoded
+        fstate, cstate = state["fnet"], state["cnet"]
+    elif (E.TRIO_MODE and not train and im1.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        # serving: fnet(new)+cnet(new) share their input — run as one
+        # block-diagonal pair tower (nn/encoders.py); fnet(old) stays its
+        # own call (PERF.md "Encoder merge")
+        fmap1, fstate = E.basic_encoder(
+            params["fnet"], state["fnet"], im1, "instance", train=train)
+        fmap2, cnet = E.basic_encoder_multi(
+            [params["fnet"]], params["cnet"], state["cnet"], [im2, im2])
+        cstate = state["cnet"]
+    else:
+        # batched like the reference's list trick (one encoder call on both)
+        fmaps, fstate = E.basic_encoder(
+            params["fnet"], state["fnet"],
+            jnp.concatenate([im1, im2], axis=0), "instance", train=train)
+        fmap1, fmap2 = fmaps[:B], fmaps[B:]
+        cnet, cstate = E.basic_encoder(
+            params["cnet"], state["cnet"], im2, "batch", train=train)
 
     pyr = CORR.build_corr_pyramid(fmap1, fmap2, CORR_LEVELS)
 
-    cnet, cstate = E.basic_encoder(
-        params["cnet"], state["cnet"], im2, "batch", train=train)
     net = jnp.tanh(cnet[..., :HDIM])
     inp = jax.nn.relu(cnet[..., HDIM:])
 
