@@ -150,9 +150,13 @@ def _trio_norm(x, c_each, bn_p, bn_st, eps=1e-5, relu=False):
     given. One fused elementwise apply. Numerics match ops/conv.py's bf16
     ones-dot / f32 two-pass instance-norm paths and C.batch_norm eval."""
     import jax.numpy as jnp
+    if bn_p is None:
+        # pure instance-norm concat: identical to IN on the whole map —
+        # route through the dispatcher (ones-dot / opt-in Pallas kernel)
+        return C.instance_norm(x, eps, relu=relu)
     b, h, w_, ctot = x.shape
-    cie = ctot - c_each if bn_p is not None else ctot
-    x_ie = x[..., :cie] if bn_p is not None else x
+    cie = ctot - c_each
+    x_ie = x[..., :cie]
     if x.dtype == jnp.bfloat16:
         x2 = x_ie.reshape(b, h * w_, cie)
         ones = jnp.ones((h * w_,), x.dtype)

@@ -159,7 +159,7 @@ def stats_supported(x) -> bool:
         return False
     b, h, w, c = x.shape
     hw = h * w
-    return (c % 128 == 0 or c in (64,)) and hw % 8 == 0 and _chunk(hw) > 0
+    return c % 64 == 0 and hw % 8 == 0 and _chunk(hw) > 0
 
 
 def _stats_kernel(n: float, eps: float, ck: int, x_ref, mean_ref, inv_ref):
