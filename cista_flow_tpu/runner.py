@@ -164,11 +164,12 @@ class Reconstructor:
 
             def body(carry, xs):
                 state, rec0, extra = carry
-                events, gt_flow = xs
+                events, ev_s2d, gt_flow = xs
                 events = constrain(events)
                 rec0 = constrain(rec0)
                 extra = constrain(extra)
-                batch = {"event_voxel": events, "rec_img0": rec0}
+                batch = {"event_voxel": events, "rec_img0": rec0,
+                         "event_voxel_s2d": ev_s2d}
                 batch_gt = {"gt_flow": gt_flow} if use_gt_flow else {}
                 kwargs = {}
                 if mode == "cista-eraft":
@@ -186,8 +187,17 @@ class Reconstructor:
                     new_extra = extra
                 return ((new_state, rec, new_extra),
                         (rec, batch_flow["flow_final"]))
+            # whole-window s2d pack of the voxels for the CISTA head (one
+            # amortized transpose; DCE'd whenever the head's gate is off)
+            from .ops import s2d as S2D
+            if events_seq.shape[2] % 2 == 0 and events_seq.shape[3] % 2 == 0:
+                ev_s2d = jax.vmap(S2D.space_to_depth)(events_seq)
+            else:
+                t_, b_, hh, ww, nb = events_seq.shape
+                ev_s2d = jnp.zeros((t_, b_, hh // 2, ww // 2, 4 * nb),
+                                   events_seq.dtype)
             (state, rec, extra), (recs, flows) = jax.lax.scan(
-                body, (state, rec0, extra), (events_seq, gt_flows))
+                body, (state, rec0, extra), (events_seq, ev_s2d, gt_flows))
             return recs, flows, state, extra
 
         jit = lambda use_gt: jax.jit(
