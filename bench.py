@@ -44,7 +44,7 @@ def main():
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             params)
 
-    chunk = int(os.environ.get("BENCH_CHUNK", "80"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "160"))
 
     hp = (h + 31) // 32 * 32
     wp = (w + 31) // 32 * 32
