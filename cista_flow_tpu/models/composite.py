@@ -17,6 +17,8 @@ Differences from the reference, by design:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -58,16 +60,60 @@ def _maybe_freeze(tree, frozen: bool):
     return jax.tree_util.tree_map(jax.lax.stop_gradient, tree) if frozen else tree
 
 
-def _warp_inputs(rec_img0, state, flow_final, cfg):
+def _warp_inputs(rec_img0, state, flow_final, cfg, half_flow=None):
     """Warp previous frame (full res) + sparse codes (half res) along flow;
-    keep the reference's exact zero-flow short-circuit semantics."""
+    keep the reference's exact zero-flow short-circuit semantics.
+
+    ``half_flow``: optionally precomputed (see _half_flow_composed — the
+    eiflow serving path derives it from the 1/8-res flow with one composed
+    constant-matrix pair instead of down-resizing the full-res map)."""
     warped_i = frame_warp(rec_img0, flow_final, mode=cfg.warp_mode)
-    half_flow = interpolate_scale(flow_final, cfg.scale_factor, align_corners=True)
+    if half_flow is None:
+        half_flow = interpolate_scale(flow_final, cfg.scale_factor,
+                                      align_corners=True)
     warped_z = frame_warp(state.sparse_code, half_flow, mode=cfg.warp_mode)
     any_flow = jnp.any(flow_final != 0)
     warped_i = jnp.where(any_flow, warped_i, rec_img0)
     warped_z = jnp.where(any_flow, warped_z, state.sparse_code)
     return warped_i, state._replace(sparse_code=warped_z)
+
+
+@functools.lru_cache(maxsize=16)
+def _half_flow_mats(out_size, full_size, pad, padded_size, low_size, scale):
+    """One composed (out, low) axis matrix for down2(unpad(upflow(f8)))."""
+    import numpy as np
+    from ..ops.resize import _interp_matrix_np
+    m = _interp_matrix_np(out_size, full_size, True) @ (
+        scale * _interp_matrix_np(padded_size, low_size, True)[pad:, :])
+    return np.asarray(m, np.float32)
+
+
+def _half_flow_composed(flow_lowres, cfg):
+    """Half-res warp flow straight from the flow net's 1/8-res output.
+
+    The model computes half_flow = downx2(unpad(upflow8(f8))) — a chain of
+    constant linear maps per axis. Composing them into one (H/2, H/8pad)
+    matrix pair turns two full-res einsums + a slice into two TINY
+    contractions on the low-res flow. Exact up to float summation order
+    (pinned vs the two-stage path in tests/test_composite.py). Only valid
+    when the warp flow IS the net's upsampled flow (not gt_flow) —
+    composite.apply gates accordingly. ref chain: DCEIFlow upflow8
+    (sample_utils.py:61-78) -> unpad -> F.interpolate(scale=0.5)."""
+    from ..ops.pad import ImagePadder
+
+    h, w = cfg.image_dim
+    _, h8, w8, _ = flow_lowres.shape
+    padder = ImagePadder(cfg.image_dim, min_size=32)
+    hp, wp = padder.padded_dim
+    sc = float(hp // h8)  # upflow magnitude scale (== ds == 8), applied once
+    mh = _half_flow_mats(int(h * cfg.scale_factor), h, padder.pad_height,
+                         hp, h8, sc)
+    mw = _half_flow_mats(int(w * cfg.scale_factor), w, padder.pad_width,
+                         wp, w8, 1.0)
+    f = flow_lowres.astype(jnp.float32)
+    f = jnp.einsum("oh,bhwc->bowc", jnp.asarray(mh), f)
+    f = jnp.einsum("ow,bhwc->bhoc", jnp.asarray(mw), f)
+    return f.astype(flow_lowres.dtype)
 
 
 def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
@@ -131,7 +177,15 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
         flow_final = batch_gt["gt_flow"]
 
     # --- warp + reconstruct --------------------------------------------------
-    warped_i, state = _warp_inputs(rec_img0, state, flow_final, cfg)
+    half_flow = None
+    if (cfg.model_mode == "cista-eiflow" and "gt_flow" not in batch_gt
+            and cfg.scale_factor == 0.5 and "flow_init" in batch_flow):
+        f8 = batch_flow["flow_init"]
+        if fix_net_name == "flow":
+            f8 = jax.lax.stop_gradient(f8)
+        half_flow = _half_flow_composed(f8, cfg)
+    warped_i, state = _warp_inputs(rec_img0, state, flow_final, cfg,
+                                   half_flow=half_flow)
     i_rec, new_state = cista_lstc.apply(
         cista_params, events, warped_i, state, depth=cfg.depth,
         events_s2d=batch_data.get("event_voxel_s2d"))

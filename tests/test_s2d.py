@@ -173,3 +173,19 @@ def test_head_conv_with_prepacked_events_matches():
     got = s2d.conv3x3_reflect_s2d(xb, w, b, cin_perm=perm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_half_flow_composed_matches_two_stage():
+    from cista_flow_tpu.configs import Config
+    from cista_flow_tpu.models import composite
+    from cista_flow_tpu.ops.resize import interpolate_scale, upflow
+    from cista_flow_tpu.ops.pad import ImagePadder
+    cfg = Config(model_mode="cista-eiflow", image_dim=(180, 240))
+    rng = np.random.default_rng(9)
+    f8 = jnp.asarray(rng.standard_normal((2, 24, 32, 2)) * 3, jnp.float32)
+    padder = ImagePadder(cfg.image_dim, min_size=32)
+    ref = interpolate_scale(padder.unpad(upflow(f8, 8)), 0.5,
+                            align_corners=True)
+    got = composite._half_flow_composed(f8, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
