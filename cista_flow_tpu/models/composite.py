@@ -217,44 +217,45 @@ def apply_sequence_eraft(params, model_state, voxel_seq, state, cfg,
     old = voxel_seq[:-1].reshape(t_len * b, *voxel_seq.shape[2:])
     new = voxel_seq[1:].reshape(t_len * b, *voxel_seq.shape[2:])
 
-    encoded = None
+    # each voxel's fnet features are computed ONCE for the window
+    # (fnet(old_t) == fnet(new_{t-1}); the stepwise path encodes every
+    # interior voxel twice). Exact per-sample math, backend-independent —
+    # always on, and covered directly by the CPU seq-vs-stepwise parity
+    # test. The fnet+cnet block-diagonal pair tower measured NEGATIVE at
+    # window batch (PERF.md "ERAFT serving") — CISTA_ERAFT_PAIR=1 opt-in.
     from ..nn import encoders as E
-    if (E.TRIO_MODE and voxel_seq.dtype == jnp.bfloat16
+    from ..ops.pad import ImagePadder
+    padder = ImagePadder(cfg.image_dim, min_size=32)
+    fp, cp = params["flow"]["fnet"], params["flow"]["cnet"]
+    cst = model_state["flow"]["cnet"]
+    all_pad = padder.pad(
+        voxel_seq.reshape(t_plus1 * b, *voxel_seq.shape[2:]))
+    new_pad = padder.pad(new)
+    import os as _os
+    if (_os.environ.get("CISTA_ERAFT_PAIR", "0") == "1"
+            and voxel_seq.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"):
-        # each voxel's fnet features computed ONCE for the window
-        # (fnet(old_t) == fnet(new_{t-1}); the stepwise path encodes every
-        # interior voxel twice), with fnet+cnet on the new voxels as one
-        # block-diagonal pair tower (nn/encoders.py, PERF.md)
-        from ..ops.pad import ImagePadder
-        padder = ImagePadder(cfg.image_dim, min_size=32)
-        fp, cp = params["flow"]["fnet"], params["flow"]["cnet"]
-        cst = model_state["flow"]["cnet"]
-        all_pad = padder.pad(
-            voxel_seq.reshape(t_plus1 * b, *voxel_seq.shape[2:]))
-        new_pad = padder.pad(new)
-        import os as _os
-        if _os.environ.get("CISTA_ERAFT_PAIR", "0") == "1":
-            fmap_first, _ = E.basic_encoder(
-                fp, model_state["flow"]["fnet"], padder.pad(voxel_seq[0]),
-                "instance", train=False)
-            fmap_new, cnet_new = E.basic_encoder_multi(
-                [fp], cp, cst, [new_pad, new_pad])
-            fshape = fmap_new.shape[1:]
-            fmap_seq = jnp.concatenate(
-                [fmap_first[None], fmap_new.reshape(t_len, b, *fshape)],
-                axis=0)
-            fmap1 = fmap_seq[:-1].reshape(t_len * b, *fshape)
-        else:
-            fmap_all, _ = E.basic_encoder(
-                fp, model_state["flow"]["fnet"], all_pad, "instance",
-                train=False)
-            fshape = fmap_all.shape[1:]
-            fmap_seq = fmap_all.reshape(t_plus1, b, *fshape)
-            fmap1 = fmap_seq[:-1].reshape(t_len * b, *fshape)
-            fmap_new = fmap_seq[1:].reshape(t_len * b, *fshape)
-            cnet_new, _ = E.basic_encoder(cp, cst, new_pad, "batch",
-                                          train=False)
-        encoded = (fmap1, fmap_new, cnet_new)
+        fmap_first, _ = E.basic_encoder(
+            fp, model_state["flow"]["fnet"], padder.pad(voxel_seq[0]),
+            "instance", train=False)
+        fmap_new, cnet_new = E.basic_encoder_multi(
+            [fp], cp, cst, [new_pad, new_pad])
+        fshape = fmap_new.shape[1:]
+        fmap_seq = jnp.concatenate(
+            [fmap_first[None], fmap_new.reshape(t_len, b, *fshape)],
+            axis=0)
+        fmap1 = fmap_seq[:-1].reshape(t_len * b, *fshape)
+    else:
+        fmap_all, _ = E.basic_encoder(
+            fp, model_state["flow"]["fnet"], all_pad, "instance",
+            train=False)
+        fshape = fmap_all.shape[1:]
+        fmap_seq = fmap_all.reshape(t_plus1, b, *fshape)
+        fmap1 = fmap_seq[:-1].reshape(t_len * b, *fshape)
+        fmap_new = fmap_seq[1:].reshape(t_len * b, *fshape)
+        cnet_new, _ = E.basic_encoder(cp, cst, new_pad, "batch",
+                                      train=False)
+    encoded = (fmap1, fmap_new, cnet_new)
 
     batch_flow, _ = eraft.apply(params["flow"], model_state["flow"], old, new,
                                 cfg, iters=iters, collect_preds=False,
