@@ -6,17 +6,22 @@ Must set env vars BEFORE jax is imported anywhere.
 import os
 import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-# A sitecustomize hook may force JAX_PLATFORMS to the TPU tunnel; override
-# post-import (env vars alone are not enough).
-os.environ["JAX_PLATFORMS"] = "cpu"
-import jax  # noqa: E402
+if os.environ.get("CISTA_TEST_TPU") == "1":
+    # opt-in: run chip-gated tests (e.g. the flagship fast-path drift
+    # check) on the real TPU backend instead of the forced CPU platform
+    import jax  # noqa: E402
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # A sitecustomize hook may force JAX_PLATFORMS to the TPU tunnel;
+    # override post-import (env vars alone are not enough).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

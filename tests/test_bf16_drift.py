@@ -41,3 +41,42 @@ def test_bf16_recurrence_drift_small():
         # sigmoid-bounded outputs: bf16 drift should stay far above typical
         # reconstruction quality (~30 dB), i.e. invisible
         assert psnr > 40, f"step {s}: bf16 drift PSNR {psnr:.1f} dB"
+
+
+def test_flagship_tpu_fastpath_drift():
+    """On-chip only: the FULL bf16 serving path (s2d head, merged encoder
+    towers, Pallas corr lookup, one-hot/flat-window warps) vs the plain
+    f32/XLA path at the flagship resolution. The fast paths are exact at
+    their own precision (unit tests); this pins their COMPOSITION's drift
+    end-to-end on hardware."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU backend (fast paths are TPU-gated)")
+    cfg = Config(image_dim=(180, 240), model_mode="cista-eiflow")
+    params, mstate = composite.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    voxels = [rng.standard_normal((1, 180, 240, 5)).astype(np.float32)
+              for _ in range(3)]
+
+    def run(dtype):
+        p = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+            params)
+        state = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype), composite.zero_state(1, cfg))
+        rec = jnp.zeros((1, 180, 240, 1), dtype)
+        outs = []
+        for s in range(3):
+            batch = {"event_voxel": jnp.asarray(voxels[s], dtype),
+                     "rec_img0": rec}
+            rec, _, state, _ = composite.apply(
+                p, mstate, batch, state, cfg, collect_preds=False)
+            outs.append(np.asarray(rec.astype(jnp.float32)))
+        return outs
+
+    f32 = run(jnp.float32)
+    bf16 = run(jnp.bfloat16)
+    for s, (a, b) in enumerate(zip(f32, bf16)):
+        mse = float(np.mean((a - b) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        # sigmoid-bounded frames; tolerate recurrent bf16 accumulation
+        assert psnr > 30.0, f"step {s}: fast-path drift PSNR {psnr:.1f}"
