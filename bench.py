@@ -96,7 +96,8 @@ def main():
                                    events_seq[:-1]], axis=0)
             xs = (events_seq, ev_s2d, old)
         (rec, state, flow_chain), recs = jax.lax.scan(
-            body, (rec0, state, flow_chain), xs)
+            body, (rec0, state, flow_chain), xs,
+            unroll=int(os.environ.get("BENCH_UNROLL", "1")))
         return rec, state, flow_chain, recs
 
     # Optional XLA/TPU compiler options, "k=v,k=v" (ship with the computation
