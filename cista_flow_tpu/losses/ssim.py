@@ -21,17 +21,26 @@ def _gaussian_kernel(win_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _blur(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Separable valid-mode gaussian blur on NHWC (per-channel)."""
+    """Separable valid-mode gaussian blur on NHWC (per-channel).
+
+    Precision HIGHEST is load-bearing: SSIM's variances come from the
+    cancellation E[x^2] - mu^2, and the TPU's default conv precision (bf16
+    multiplies) leaves rounding residue ~1e-2 on near-flat images — larger
+    than c2 = 9e-4, which flips the cs denominator negative and produces
+    |SSIM| >> 1. (Observed on-chip: untrained-net eval printed ssim 4.30.)
+    """
     k = jnp.asarray(kernel)
     c = x.shape[-1]
     kh = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, c))
     kw = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, c))
     y = jax.lax.conv_general_dilated(
         x, kh, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     y = jax.lax.conv_general_dilated(
         y, kw, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return y
 
 

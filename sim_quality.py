@@ -51,11 +51,13 @@ def ensure_data(workdir, h, w, n_videos, n_frames, eval_frames, seed):
     return train_dir, eval_dir
 
 
-def run_eval(workdir, eval_dir, h, w, dtype, ckpt=None, tag="init"):
+def run_eval(workdir, eval_dir, h, w, dtype, ckpt=None, tag="init",
+             model_mode="cista-gtflow"):
     from test_with_flow import evaluate_sequences
 
     cfg = configs.Config(
-        model_mode="cista-gtflow", image_dim=(h, w), is_gt_flow=True,
+        model_mode=model_mode, image_dim=(h, w),
+        is_gt_flow=(model_mode == "cista-gtflow"),
         path_to_test_data=eval_dir, test_data_mode="upsampled",
         output_folder=os.path.join(workdir, f"out_{tag}"),
         path_to_test_model=ckpt or "", dtype=dtype,
@@ -72,6 +74,14 @@ def main(argv=None):
     ap.add_argument("--n_videos", type=int, default=16)
     ap.add_argument("--n_frames", type=int, default=61)
     ap.add_argument("--eval_frames", type=int, default=30)
+    ap.add_argument("--model_mode", default="cista-gtflow",
+                    help="cista-gtflow (rec-only, GT flow) or a full "
+                         "composite, e.g. cista-eiflow (3-phase schedule, "
+                         "flow net trained from scratch, eval uses the "
+                         "ESTIMATED flow and reports EPE)")
+    ap.add_argument("--flow_epoch", type=int, default=0)
+    ap.add_argument("--rec_epoch", type=int, default=None,
+                    help="default: epochs - flow_epoch (no phase-3)")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--len_sequence", type=int, default=10)
@@ -89,13 +99,16 @@ def main(argv=None):
                                       args.n_frames, args.eval_frames,
                                       args.seed)
 
-    # flow_epoch=0 / rec_epoch=epochs puts the final save exactly at the end
-    # of the run (the phase schedule itself is moot for cista-gtflow)
+    # default flow_epoch=0 / rec_epoch=epochs puts the final save exactly at
+    # the end of the run (the phase schedule is moot for cista-gtflow; for
+    # composites pass --flow_epoch/--rec_epoch to exercise the 3 phases)
+    rec_epoch = (args.epochs - args.flow_epoch if args.rec_epoch is None
+                 else args.rec_epoch)
     tcfg = configs.Config(
-        model_mode="cista-gtflow", image_dim=(h, w),
+        model_mode=args.model_mode, image_dim=(h, w),
         path_to_train_data=train_dir,
         path_to_model=os.path.join(args.workdir, "models"),
-        epochs=args.epochs, flow_epoch=0, rec_epoch=args.epochs,
+        epochs=args.epochs, flow_epoch=args.flow_epoch, rec_epoch=rec_epoch,
         batch_size=args.batch_size, len_sequence=args.len_sequence,
         lr=args.lr, dtype=args.dtype, remat=args.remat, shuffle=True,
         seed=args.seed)
@@ -106,7 +119,8 @@ def main(argv=None):
                         f"{mdl}_{args.epochs}.pth.tar")
 
     metrics_init = run_eval(args.workdir, eval_dir, h, w, args.dtype,
-                            ckpt=None, tag="init")
+                            ckpt=None, tag="init",
+                            model_mode=args.model_mode)
 
     if not args.skip_train and not os.path.exists(ckpt):
         import train as train_cli
@@ -114,7 +128,8 @@ def main(argv=None):
     assert os.path.exists(ckpt), f"training did not produce {ckpt}"
 
     metrics_trained = run_eval(args.workdir, eval_dir, h, w, args.dtype,
-                               ckpt=ckpt, tag="trained")
+                               ckpt=ckpt, tag="trained",
+                               model_mode=args.model_mode)
 
     out = {
         "psnr_init": round(metrics_init["psnr"], 3),
@@ -126,6 +141,9 @@ def main(argv=None):
         "epochs": args.epochs,
         "ckpt": ckpt,
     }
+    if "epe" in metrics_trained:
+        out["epe_init"] = round(metrics_init["epe"], 3)
+        out["epe_trained"] = round(metrics_trained["epe"], 3)
     print(json.dumps(out))
     return 0
 

@@ -43,6 +43,50 @@ def test_bf16_recurrence_drift_small():
         assert psnr > 40, f"step {s}: bf16 drift PSNR {psnr:.1f} dB"
 
 
+def test_ssim_metric_on_chip_matches_cpu():
+    """On-chip only: SSIM must stay in [-1, 1] and match the CPU value.
+
+    Regression for a real field failure: the TPU's default conv precision
+    (bf16 multiplies) broke the variance cancellation E[x^2]-mu^2 on
+    near-flat images (untrained-net output), flipping the cs denominator
+    negative and printing ssim=4.30 in eval CSVs — and silently corrupting
+    the 1-ssim training-loss term. losses/ssim.py now forces
+    Precision.HIGHEST in its blur convs."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU backend (default-precision convs)")
+    from cista_flow_tpu.losses.ssim import _gaussian_kernel, ssim
+
+    def ssim_np(x, y):
+        k = _gaussian_kernel(11, 1.5).astype(np.float64)
+
+        def blur(img):
+            img = img[0, :, :, 0].astype(np.float64)
+            img = np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="valid"), 0, img)
+            return np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="valid"), 1, img)
+
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        mu1, mu2 = blur(x), blur(y)
+        s1 = blur(x * x) - mu1 * mu1
+        s2 = blur(y * y) - mu2 * mu2
+        s12 = blur(x * y) - mu1 * mu2
+        cs = (2 * s12 + c2) / (s1 + s2 + c2)
+        return float(np.mean((2 * mu1 * mu2 + c1)
+                             / (mu1 * mu1 + mu2 * mu2 + c1) * cs))
+
+    rng = np.random.default_rng(0)
+    gt = rng.random((1, 180, 240, 1)).astype(np.float32)
+    # near-flat reconstruction: the catastrophic-cancellation regime
+    rec = np.full((1, 180, 240, 1), 0.5, np.float32) \
+        + 1e-3 * rng.standard_normal((1, 180, 240, 1)).astype(np.float32)
+    for a, b in ((rec, gt), (gt, gt), (rec, rec)):
+        tpu_val = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        ref_val = ssim_np(a, b)
+        assert abs(tpu_val) <= 1.0 + 1e-3, f"ssim out of range: {tpu_val}"
+        assert abs(tpu_val - ref_val) < 5e-3, (tpu_val, ref_val)
+
+
 def test_flagship_tpu_fastpath_drift():
     """On-chip only: the FULL bf16 serving path (s2d head, merged encoder
     towers, Pallas corr lookup, one-hot/flat-window warps) vs the plain
