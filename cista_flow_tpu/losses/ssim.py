@@ -20,48 +20,59 @@ def _gaussian_kernel(win_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+@functools.lru_cache(maxsize=32)
+def _blur_matrix(size: int, win_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    """(size - win + 1, size) constant banded matrix of the 1D gaussian."""
+    k = _gaussian_kernel(win_size, sigma)
+    m = np.zeros((size - win_size + 1, size), np.float32)
+    for i in range(size - win_size + 1):
+        m[i, i:i + win_size] = k
+    return m
+
+
+def _blur(x: jnp.ndarray, win_size: int, sigma: float) -> jnp.ndarray:
     """Separable valid-mode gaussian blur on NHWC (per-channel).
 
-    Precision HIGHEST is load-bearing: SSIM's variances come from the
-    cancellation E[x^2] - mu^2, and the TPU's default conv precision (bf16
-    multiplies) leaves rounding residue ~1e-2 on near-flat images — larger
-    than c2 = 9e-4, which flips the cs denominator negative and produces
-    |SSIM| >> 1. (Observed on-chip: untrained-net eval printed ssim 4.30.)
+    Two design constraints, both load-bearing:
+
+    * Precision HIGHEST: SSIM's variances come from the cancellation
+      E[x^2] - mu^2, and the TPU's default precision (bf16 multiplies)
+      leaves rounding residue ~1e-2 on near-flat images — larger than
+      c2 = 9e-4, which flips the cs denominator negative and produces
+      |SSIM| >> 1 (observed on-chip: untrained-net eval printed ssim 4.30;
+      centering tricks don't save locally-flat-globally-varying images).
+    * Constant-matrix MXU contractions, not convs: a C=1 depthwise conv
+      occupies 1/128 of the lanes and is pass-bound; the same math as two
+      banded-matrix einsums fills the lanes. Measured bf16 train step
+      (batch 16, T=10): broken-precision convs 1348 ms, HIGHEST convs
+      1498 ms, HIGHEST matrix einsums 1300 ms — exact AND fastest.
+      Same trick as ops/resize.py.
     """
-    k = jnp.asarray(kernel)
-    c = x.shape[-1]
-    kh = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, c))
-    y = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    y = jax.lax.conv_general_dilated(
-        y, kw, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    return y
+    kh = jnp.asarray(_blur_matrix(x.shape[1], win_size, sigma))
+    kw = jnp.asarray(_blur_matrix(x.shape[2], win_size, sigma))
+    y = jnp.einsum("hH,bHWc->bhWc", kh, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("wW,bhWc->bhwc", kw, y,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, data_range: float = 1.0,
          win_size: int = 11, sigma: float = 1.5,
          nonnegative: bool = False) -> jnp.ndarray:
     """Mean SSIM over the batch (NHWC inputs). Matches pytorch_msssim."""
-    k = _gaussian_kernel(win_size, sigma)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
 
     x = img1.astype(jnp.float32)
     y = img2.astype(jnp.float32)
-    mu1 = _blur(x, k)
-    mu2 = _blur(y, k)
+    mu1 = _blur(x, win_size, sigma)
+    mu2 = _blur(y, win_size, sigma)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu12 = mu1 * mu2
-    sigma1_sq = _blur(x * x, k) - mu1_sq
-    sigma2_sq = _blur(y * y, k) - mu2_sq
-    sigma12 = _blur(x * y, k) - mu12
+    sigma1_sq = _blur(x * x, win_size, sigma) - mu1_sq
+    sigma2_sq = _blur(y * y, win_size, sigma) - mu2_sq
+    sigma12 = _blur(x * y, win_size, sigma) - mu12
 
     cs = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     m = ((2 * mu12 + c1) / (mu1_sq + mu2_sq + c1)) * cs
