@@ -240,17 +240,28 @@ def write_eval_sequence(outdir: str, sim: dict):
 
 
 def write_train_dataset(outroot: str, n_videos: int, n_frames: int,
-                        h: int, w: int, seed: int = 0, **sim_kw) -> str:
+                        h: int, w: int, seed: int = 0,
+                        speed_range=None, omega_range=None, **sim_kw) -> str:
     """Training layout: per-video folders + the index txt TrainfusedEventData
     reads (ref: train_data_loaders.py:15-17: seq_id num_events ts0 ts1 img0
-    img1 events flow). Returns the index path."""
+    img1 events flow). Returns the index path.
+
+    ``speed_range``/``omega_range``: optional (lo, hi) — sample each video's
+    texture speed / angular rate uniformly (motion diversity for flow
+    supervision; direction is already random per video)."""
     import cv2
+    mrng = np.random.default_rng(seed + 31337)
     lines = []
     for vid in range(n_videos):
         vdir = os.path.join(outroot, f"v{vid:03d}")
         os.makedirs(vdir, exist_ok=True)
+        kw = dict(sim_kw)
+        if speed_range is not None:
+            kw["speed"] = float(mrng.uniform(*speed_range))
+        if omega_range is not None:
+            kw["omega"] = float(mrng.uniform(*omega_range))
         sim = simulate_sequence(seed + 1000 * vid + 1, n_frames, h, w,
-                                **sim_kw)
+                                **kw)
         for i, frame in enumerate(sim["frames"]):
             cv2.imwrite(os.path.join(vdir, f"frame_{i:04d}.png"),
                         np.round(frame * 255).astype(np.uint8))
@@ -268,6 +279,71 @@ def write_train_dataset(outroot: str, n_videos: int, n_frames: int,
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return path
+
+
+class SimFlowPairs:
+    """Per-interval flow-supervision pairs over the simulated train layout.
+
+    Adapter for the flow-pretraining stage (``pretrain_flow.py --data_kind
+    sim``): flattens the composite training index into independent
+    (events, I0, I1, flow01) samples in the FlyingChairs2 item schema (CHW
+    float arrays), but with the voxelization/normalization of the composite
+    train path, so a checkpoint pretrained here drops straight into the
+    3-phase composite schedule. Mirrors the reference's DCEIFlow "GT I"
+    pretraining stage, which the upstream repo performs on FlyingChairs2
+    before composite training (ref: DCEIFlow/DCEIFlow.py:143 signature,
+    DCEIFlow/core/loss/L1Loss.py:6-114 supervision).
+    """
+
+    def __init__(self, cfgs, train_data_txt: str | None = None,
+                 aug: bool = False):
+        from .train_loader import TrainSequenceDataset
+        txt = train_data_txt or os.path.join(
+            cfgs.path_to_train_data, "train_e2v_estflow.txt")
+        self.ds = TrainSequenceDataset(txt, cfgs)
+        self.is_bi = cfgs.is_bi
+        # random h/v flips (training only): flips a flow field's spatial
+        # axis AND negates the matching component — free 4x motion-direction
+        # diversity (the chairs2 augmentor's do_flip analog)
+        self.aug = aug
+        self._rng = np.random.default_rng(getattr(cfgs, "seed", 0) + 9173)
+
+    def __len__(self):
+        return len(self.ds.event_paths)
+
+    def __getitem__(self, i):
+        bd, bt = self.ds.get_step(i)
+        # forward displacement I0->I1 (the chairs/RAFT convention), straight
+        # from the generator: no warp-mode sign handling — that belongs to
+        # the composite's warp consumer, not the flow supervision target
+        f = np.load(os.path.join(self.ds.root, self.ds.flow_paths[i]))
+        h, w = bt["gt_img0"].shape
+        item = {
+            "event_voxel": bd["event_voxel"].astype(np.float32),
+            "gt_img0": bt["gt_img0"][None].astype(np.float32),
+            "gt_img1": bt["gt_img1"][None].astype(np.float32),
+            "gt_flow": f["flow01"].astype(np.float32),
+            "valid": np.ones((1, h, w), np.float32),
+        }
+        if self.is_bi:
+            item["gt_flow_bw"] = f["flow10"].astype(np.float32)
+            if "event_voxel_bw" in bd:
+                item["event_voxel_bw"] = \
+                    bd["event_voxel_bw"].astype(np.float32)
+        if self.aug:
+            if self._rng.random() < 0.5:  # horizontal flip (W = axis -1)
+                item = {k: np.ascontiguousarray(v[..., ::-1])
+                        for k, v in item.items()}
+                for k in ("gt_flow", "gt_flow_bw"):
+                    if k in item:
+                        item[k][0] = -item[k][0]
+            if self._rng.random() < 0.5:  # vertical flip (H = axis -2)
+                item = {k: np.ascontiguousarray(v[..., ::-1, :])
+                        for k, v in item.items()}
+                for k in ("gt_flow", "gt_flow_bw"):
+                    if k in item:
+                        item[k][1] = -item[k][1]
+        return item
 
 
 def main(argv=None):

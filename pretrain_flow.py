@@ -49,7 +49,20 @@ def make_batches(ds, batch_size, shuffle, rng):
 
 
 def make_train_step(cfg, opt, is_bi, flow_arch="dceiflow"):
+    bf16 = getattr(cfg, "dtype", "float32") == "bfloat16"
+
     def loss_fn(params, state, batch):
+        if bf16:
+            # mixed precision, matching parallel/train_step.py: f32 master
+            # weights, bf16 compute for the net inputs/params; supervision
+            # targets stay f32
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+            batch = dict(batch)
+            for k in ("event_voxel", "event_voxel_bw", "gt_img0", "gt_img1"):
+                if k in batch:
+                    batch[k] = batch[k].astype(jnp.bfloat16)
         if flow_arch == "raft":
             # image-pair RAFT: RGB in [0, 255] (normalized inside the model)
             out, new_state = raft.apply(
@@ -85,10 +98,17 @@ def make_train_step(cfg, opt, is_bi, flow_arch="dceiflow"):
 
 
 def main(cfgs):
-    ds = FlyingChairs2(cfgs, cfgs.path_to_train_data, data_kind="train",
-                       aug_params={"crop_size": tuple(cfgs.image_dim),
-                                   "do_flip": True})
-    print(f"FlyingChairs2: {len(ds)} training samples")
+    if getattr(cfgs, "data_kind", "chairs2") == "sim":
+        # in-repo physics (cista_flow_tpu/data/sim.py): same supervision
+        # schema as chairs2, with the composite train path's voxelization
+        from cista_flow_tpu.data.sim import SimFlowPairs
+        ds = SimFlowPairs(cfgs)
+        print(f"SimFlowPairs: {len(ds)} training pairs")
+    else:
+        ds = FlyingChairs2(cfgs, cfgs.path_to_train_data, data_kind="train",
+                           aug_params={"crop_size": tuple(cfgs.image_dim),
+                                       "do_flip": True})
+        print(f"FlyingChairs2: {len(ds)} training samples")
 
     arch = getattr(cfgs, "flow_arch", "dceiflow")
     if arch == "raft":
@@ -138,8 +158,11 @@ if __name__ == "__main__":
     configs.add_args(parser)
     parser.add_argument("--flow_arch", default="dceiflow",
                         choices=["dceiflow", "raft"])
+    parser.add_argument("--data_kind", default="chairs2",
+                        choices=["chairs2", "sim"])
     args = parser.parse_args()
     cfgs = configs.from_args(args)
     cfgs.model_mode = "cista-eiflow"
     cfgs.flow_arch = args.flow_arch
+    cfgs.data_kind = args.data_kind
     main(cfgs)

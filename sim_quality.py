@@ -79,6 +79,11 @@ def main(argv=None):
                          "composite, e.g. cista-eiflow (3-phase schedule, "
                          "flow net trained from scratch, eval uses the "
                          "ESTIMATED flow and reports EPE)")
+    ap.add_argument("--path_to_flownet", default="",
+                    help="flow-net .pth.tar to start the composite from "
+                         "(e.g. sim_flow_quality.py's output) — the "
+                         "reference's full recipe: pretrain flow, then the "
+                         "3-phase composite schedule (ref: train.py:69-79)")
     ap.add_argument("--flow_epoch", type=int, default=0)
     ap.add_argument("--rec_epoch", type=int, default=None,
                     help="default: epochs - flow_epoch (no phase-3)")
@@ -111,7 +116,7 @@ def main(argv=None):
         epochs=args.epochs, flow_epoch=args.flow_epoch, rec_epoch=rec_epoch,
         batch_size=args.batch_size, len_sequence=args.len_sequence,
         lr=args.lr, dtype=args.dtype, remat=args.remat, shuffle=True,
-        seed=args.seed)
+        seed=args.seed, path_to_flownet=args.path_to_flownet)
 
     from cista_flow_tpu.runner import model_name_from_cfg
     mdl = model_name_from_cfg(tcfg)

@@ -139,3 +139,95 @@ def test_cli_main(tmp_path):
                    "--substeps", "3", "--n_sequences", "2"])
     assert rc == 0
     assert os.path.exists(str(tmp_path / "d" / "sim_01" / "timestamps.txt"))
+
+
+def _sim_flow_pairs(tmp_path, h=32, w=32):
+    sim.write_train_dataset(str(tmp_path), n_videos=1, n_frames=5,
+                            h=h, w=w, substeps=4, speed=30.0)
+    from cista_flow_tpu.data.sim import SimFlowPairs
+    cfg = Config(model_mode="cista-eiflow", image_dim=(h, w),
+                 path_to_train_data=str(tmp_path), len_sequence=1,
+                 flow_iters=2)
+    return SimFlowPairs(cfg), cfg
+
+
+def test_sim_flow_pairs_schema(tmp_path):
+    """SimFlowPairs (the sim-data flow-pretraining adapter) yields the
+    FlyingChairs2 item schema, and the gt_flow target is the generator's
+    forward field (flow01), not the warp-sign-mangled composite field."""
+    h = w = 32
+    ds, _ = _sim_flow_pairs(tmp_path, h, w)
+    assert len(ds) == 4
+    item = ds[1]
+    assert item["event_voxel"].shape == (5, h, w)
+    assert item["gt_img0"].shape == (1, h, w)
+    assert item["gt_flow"].shape == (2, h, w)
+    assert item["valid"].shape == (1, h, w)
+    raw = np.load(os.path.join(str(tmp_path), "v000", "flow_000001.npz"))
+    np.testing.assert_array_equal(item["gt_flow"], raw["flow01"])
+
+
+@pytest.mark.slow
+def test_sim_flow_pairs_train_step(tmp_path):
+    """One supervised pretrain_flow step on sim pairs runs to finite loss."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+    import optax
+    import pretrain_flow as pf
+    from cista_flow_tpu.models import dceiflow
+
+    ds, cfg = _sim_flow_pairs(tmp_path)
+    params, state = dceiflow.init(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    step = pf.make_train_step(cfg, opt, is_bi=False)
+    rng = np.random.default_rng(0)
+    batch = next(pf.make_batches(ds, 2, False, rng))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params, state, opt_state, loss, epe = step(params, state, opt_state, jb)
+    assert np.isfinite(float(loss)) and np.isfinite(float(epe))
+
+
+def test_sim_flow_pairs_aug_flips(tmp_path):
+    """Every augmented item is one of the 4 flip variants of the base item,
+    with the matching flow components negated (flipping a flow field's
+    spatial axis must negate that axis's displacement)."""
+    from cista_flow_tpu.data.sim import SimFlowPairs
+    h = w = 32
+    sim.write_train_dataset(str(tmp_path), n_videos=1, n_frames=5,
+                            h=h, w=w, substeps=4, speed=30.0)
+    cfg = Config(model_mode="cista-eiflow", image_dim=(h, w),
+                 path_to_train_data=str(tmp_path), len_sequence=1)
+    base = SimFlowPairs(cfg)[2]
+    aug_ds = SimFlowPairs(cfg, aug=True)
+
+    def variant(hf, vf):
+        out = {}
+        for k, v in base.items():
+            if hf:
+                v = v[..., ::-1]
+            if vf:
+                v = v[..., ::-1, :]
+            v = np.ascontiguousarray(v)
+            if k == "gt_flow":
+                if hf:
+                    v[0] = -v[0]
+                if vf:
+                    v[1] = -v[1]
+            out[k] = v
+        return out
+
+    variants = [variant(hf, vf) for hf in (0, 1) for vf in (0, 1)]
+    seen = set()
+    for _ in range(24):
+        item = aug_ds[2]
+        match = None
+        for vi, v in enumerate(variants):
+            if all(np.array_equal(item[k], v[k]) for k in item):
+                match = vi
+                break
+        assert match is not None, "augmented item is not a flip variant"
+        seen.add(match)
+    assert len(seen) >= 3  # all four appear w.h.p.; require most
