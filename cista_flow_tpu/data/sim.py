@@ -312,7 +312,9 @@ class SimFlowPairs:
         return len(self.ds.event_paths)
 
     def __getitem__(self, i):
-        bd, bt = self.ds.get_step(i)
+        # load_flow=False: the raw flow npz is read once below (forward
+        # convention, no warp-mode sign handling), not decoded twice
+        bd, bt = self.ds.get_step(i, load_flow=False)
         # forward displacement I0->I1 (the chairs/RAFT convention), straight
         # from the generator: no warp-mode sign handling — that belongs to
         # the composite's warp consumer, not the flow supervision target

@@ -135,9 +135,12 @@ class TrainSequenceDataset:
         return self.flow_coef * np.load(
             os.path.join(self.root, rel_path), allow_pickle=True)[name]
 
-    def get_step(self, line_id):
+    def get_step(self, line_id, load_flow=True):
         """One reconstruction step as (batch_data, batch_target) of CHW-free
-        numpy arrays: voxel (C,H,W), images (H,W), flow (2,H,W)."""
+        numpy arrays: voxel (C,H,W), images (H,W), flow (2,H,W).
+
+        load_flow=False skips the flow npz decode entirely, for consumers
+        that read the raw flow file themselves (e.g. SimFlowPairs)."""
         window = self._load_events(self.event_paths[line_id])
         batch_data = {"event_voxel": self._voxel(window)}
         if self.is_reverse_events:
@@ -156,9 +159,11 @@ class TrainSequenceDataset:
         batch_target = {
             "gt_img0": self._load_image(self.image_paths[line_id]),
             "gt_img1": self._load_image(self.next_image_paths[line_id]),
-            "gt_flow": self._load_flow(self.flow_paths[line_id], self.flow_name),
         }
-        if self.is_bi:
+        if load_flow:
+            batch_target["gt_flow"] = self._load_flow(
+                self.flow_paths[line_id], self.flow_name)
+        if load_flow and self.is_bi:
             batch_target["gt_flow_bw"] = self._load_flow(
                 self.flow_paths[line_id], self.flow_name_bw)
         return batch_data, batch_target

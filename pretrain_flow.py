@@ -102,7 +102,9 @@ def main(cfgs):
         # in-repo physics (cista_flow_tpu/data/sim.py): same supervision
         # schema as chairs2, with the composite train path's voxelization
         from cista_flow_tpu.data.sim import SimFlowPairs
-        ds = SimFlowPairs(cfgs)
+        # aug=True: flip augmentation on, matching the chairs2 path's
+        # do_flip default (and sim_flow_quality.py's training call)
+        ds = SimFlowPairs(cfgs, aug=True)
         print(f"SimFlowPairs: {len(ds)} training pairs")
     else:
         ds = FlyingChairs2(cfgs, cfgs.path_to_train_data, data_kind="train",

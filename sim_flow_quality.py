@@ -42,23 +42,51 @@ from cista_flow_tpu.utils.profiling import StepTimer
 import pretrain_flow as pf
 
 
-def mean_epe(ds, cfg, params, state, batch_size, zero_flow=False):
-    """Mean endpoint error over a held-out pair dataset (eval mode)."""
+_FWD_CACHE = {}
 
-    @jax.jit
-    def fwd(params, state, voxel, img0):
-        if cfg.dtype == "bfloat16":
-            params = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, params)
-        out, _ = dceiflow.apply(params, state, voxel, img0, cfg,
-                                iters=cfg.default_flow_iters(),
-                                train=False, collect_preds=False)
-        return out["flow_final"].astype(jnp.float32)
+
+def _get_fwd(cfg):
+    """jit'd eval forward, cached per (dtype, iters) so the per-epoch
+    held-out evals reuse one compilation instead of recompiling each call."""
+    key = (cfg.dtype, cfg.default_flow_iters())
+    if key not in _FWD_CACHE:
+
+        @jax.jit
+        def fwd(params, state, voxel, img0):
+            if cfg.dtype == "bfloat16":
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, params)
+            out, _ = dceiflow.apply(params, state, voxel, img0, cfg,
+                                    iters=cfg.default_flow_iters(),
+                                    train=False, collect_preds=False)
+            return out["flow_final"].astype(jnp.float32)
+
+        _FWD_CACHE[key] = fwd
+    return _FWD_CACHE[key]
+
+
+def mean_epe(ds, cfg, params, state, batch_size, zero_flow=False):
+    """Mean endpoint error over the FULL held-out pair dataset (eval mode).
+    The final partial batch is padded up to batch_size (one jit shape) and
+    the pad samples excluded from the mean."""
+    fwd = _get_fwd(cfg)
+
+    def batches_with_remainder():
+        order = np.arange(len(ds))
+        for i in range(0, len(order), batch_size):
+            idx = order[i:i + batch_size]
+            real = len(idx)
+            if real < batch_size:  # pad the tail to the jit'd shape
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - real, np.int64)])
+            items = [ds[j] for j in idx]
+            out = {k: np.stack([pf._to_nhwc(np.asarray(it[k], np.float32))
+                                for it in items]) for k in items[0]}
+            yield out, real
 
     tot, n = 0.0, 0
-    rng = np.random.default_rng(0)
-    for batch in pf.make_batches(ds, batch_size, False, rng):
+    for batch, real in batches_with_remainder():
         gt = jnp.asarray(batch["gt_flow"], jnp.float32)
         if zero_flow:
             flow = jnp.zeros_like(gt)
@@ -68,8 +96,8 @@ def mean_epe(ds, cfg, params, state, batch_size, zero_flow=False):
                        jnp.asarray(batch["event_voxel"], cdt),
                        jnp.asarray(batch["gt_img0"][..., :1], cdt))
         epe = jnp.sqrt(jnp.sum((flow - gt) ** 2, axis=-1))
-        tot += float(jnp.sum(jnp.mean(epe, axis=(1, 2))))
-        n += gt.shape[0]
+        tot += float(jnp.sum(jnp.mean(epe, axis=(1, 2))[:real]))
+        n += real
     return tot / n
 
 
