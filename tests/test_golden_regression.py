@@ -8,9 +8,14 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
+
+# full tier only: the composite recurrence compile is the fast tier's single
+# heaviest item (~75 s); drift is equally caught by the nightly/full run
+pytestmark = pytest.mark.slow
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_metrics.json")
 

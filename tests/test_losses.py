@@ -173,7 +173,9 @@ def test_psnr_matches_reference_formula():
     np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
-def test_lpips_runs():
+@pytest.mark.slow  # ~40 s compile (the conv tower); convert-roundtrip tests
+def test_lpips_runs():  # keep the fast tier's LPIPS coverage
+
     import jax
 
     params = losses.lpips.init(jax.random.PRNGKey(0))
