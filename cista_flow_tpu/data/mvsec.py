@@ -204,9 +204,13 @@ class MVSEC_NE(_MVSECBase):
                  train_ratio=0.6, skip_num=None):
         super().__init__(args, data_root, data_split, data_mode, train_ratio,
                          skip_num, skip_mode="i")
-        self.width = 346
-        self.height = 260
-        self.crop_size = (260, 346)
+        # DAVIS346 sensor (the reference hardcodes it, ref: MVSEC.py:309-311);
+        # overridable via cfg for reduced-resolution synthetic rehearsal
+        # fixtures (sim.write_mvsec_hdf5)
+        sh, sw = getattr(args, "mvsec_sensor_size", None) or (260, 346)
+        self.width = sw
+        self.height = sh
+        self.crop_size = (sh, sw)
         self.num_events = args.num_events
 
     def events_to_voxel(self, events, height, width):

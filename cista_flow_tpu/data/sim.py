@@ -281,6 +281,79 @@ def write_train_dataset(outroot: str, n_videos: int, n_frames: int,
     return path
 
 
+def write_mvsec_hdf5(outdir: str, split: str = "indoor_flying4",
+                     n_real: int = 16, h: int = 260, w: int = 346,
+                     seed: int = 0, fps: float = 25.0, **sim_kw) -> tuple:
+    """MVSEC-layout HDF5 pair from the simulator: a full end-to-end rehearsal
+    fixture for the MVSEC eval path before the real dataset mounts.
+
+    Emits ``<outdir>/<split>_data.hdf5`` (``davis/left/{events, image_raw,
+    image_raw_ts, image_raw_event_inds}``) and ``<split>_gt.hdf5``
+    (``davis/left/{flow_dist, flow_dist_ts}``) — the exact group names and
+    conventions the readers expect (ref: data_readers/MVSEC.py:59-66,133-151;
+    events are ``[x, y, t, p]`` rows with p in {-1,+1} like the released
+    files). The split's VALID_TIME_INDEX window starts at a large raw index,
+    so only ``n_real`` frames starting exactly at that shift carry simulated
+    content; every frame outside the window is zeros and is never read by the
+    reader (it asserts raw < raw_index_max only for accessed items). Items
+    0..n_real-3 of the split are therefore fully backed by consistent
+    events / frames / GT flow.
+    """
+    import h5py
+
+    from .mvsec import VALID_TIME_INDEX
+
+    shift, maxi = VALID_TIME_INDEX[split]
+    n_total = maxi + 2
+    sim = simulate_sequence(seed, n_real, h, w, fps=fps, **sim_kw)
+
+    ts_global = np.arange(n_total, dtype=np.float64) / fps
+    images = np.zeros((n_total, h, w), np.uint8)
+    for k, frame in enumerate(sim["frames"]):
+        images[shift + k] = np.round(frame * 255).astype(np.uint8)
+
+    off = ts_global[shift]
+    ev_rows = []
+    for (t, x, y, p) in sim["events"]:
+        ev_rows.append(np.stack([x.astype(np.float64),
+                                 y.astype(np.float64),
+                                 t + off,
+                                 (2 * p - 1).astype(np.float64)], axis=1))
+    # trailing pad events just after the last real frame: keeps i2 <
+    # event_length for every accessible pair (the reader asserts it)
+    t_last = ts_global[shift + n_real - 1] + 1e-4
+    pad = np.array([[0.0, 0.0, t_last + 1e-6 * i, 1.0] for i in range(8)])
+    events = np.concatenate(ev_rows + [pad], axis=0)
+    inds = np.searchsorted(events[:, 2], ts_global, side="left")
+
+    # per-interval GT flow at the real frame timestamps; a zero lead-in
+    # entry keeps searchsorted's left index >= 0 under float32 ts rounding,
+    # zero tail entries keep the right index < flow_length
+    zero = np.zeros((1, 2, h, w), np.float32)
+    flow = np.concatenate([zero, sim["flow01"].astype(np.float32),
+                           zero, zero], axis=0)
+    flow_ts = np.concatenate([
+        [ts_global[shift] - 1.0 / fps],
+        ts_global[shift:shift + n_real - 1],
+        [ts_global[shift + n_real - 1], ts_global[shift + n_real]]])
+
+    os.makedirs(outdir, exist_ok=True)
+    data_path = os.path.join(outdir, f"{split}_data.hdf5")
+    gt_path = os.path.join(outdir, f"{split}_gt.hdf5")
+    with h5py.File(data_path, "w") as f:
+        g = f.create_group("davis/left")
+        g.create_dataset("events", data=events)
+        g.create_dataset("image_raw", data=images,
+                         chunks=(1, h, w), compression="gzip")
+        g.create_dataset("image_raw_ts", data=ts_global)
+        g.create_dataset("image_raw_event_inds", data=inds.astype(np.int64))
+    with h5py.File(gt_path, "w") as f:
+        g = f.create_group("davis/left")
+        g.create_dataset("flow_dist", data=flow)
+        g.create_dataset("flow_dist_ts", data=flow_ts.astype(np.float64))
+    return data_path, gt_path
+
+
 class SimFlowPairs:
     """Per-interval flow-supervision pairs over the simulated train layout.
 
@@ -332,6 +405,8 @@ class SimFlowPairs:
             if "event_voxel_bw" in bd:
                 item["event_voxel_bw"] = \
                     bd["event_voxel_bw"].astype(np.float32)
+        if "event_voxel_old" in bd:  # eraft supervision: voxel pair input
+            item["event_voxel_old"] = bd["event_voxel_old"].astype(np.float32)
         if self.aug:
             if self._rng.random() < 0.5:  # horizontal flip (W = axis -1)
                 item = {k: np.ascontiguousarray(v[..., ::-1])

@@ -27,7 +27,7 @@ from cista_flow_tpu import configs, parallel
 from cista_flow_tpu.ckpt import torch_import as ti
 from cista_flow_tpu.data import FlyingChairs2
 from cista_flow_tpu.losses.flow import flow_sequence_loss
-from cista_flow_tpu.models import dceiflow, raft
+from cista_flow_tpu.models import dceiflow, eraft, raft
 from cista_flow_tpu.utils.profiling import StepTimer
 
 
@@ -68,6 +68,13 @@ def make_train_step(cfg, opt, is_bi, flow_arch="dceiflow"):
             out, new_state = raft.apply(
                 params, state, 255.0 * batch["gt_img0"],
                 255.0 * batch["gt_img1"], cfg,
+                iters=cfg.default_flow_iters(), train=True)
+        elif flow_arch == "eraft":
+            # events-only flow over consecutive voxel pairs (ref:
+            # ERAFT/eraft.py:114 — fnet on both voxels, cnet on the newer)
+            out, new_state = eraft.apply(
+                params, state, batch["event_voxel_old"],
+                batch["event_voxel"], cfg,
                 iters=cfg.default_flow_iters(), train=True)
         else:
             out, new_state = dceiflow.apply(
@@ -119,6 +126,8 @@ def main(cfgs):
         assert cfgs.image_dim[0] % 32 == 0 and cfgs.image_dim[1] % 32 == 0, \
             "raft pretraining needs a /32-divisible crop"
         params, state = raft.init(jax.random.PRNGKey(cfgs.seed), cfgs)
+    elif arch == "eraft":
+        params, state = eraft.init(jax.random.PRNGKey(cfgs.seed), cfgs)
     else:
         params, state = dceiflow.init(jax.random.PRNGKey(cfgs.seed), cfgs)
     opt = parallel.make_optimizer(cfgs.lr)
@@ -146,7 +155,8 @@ def main(cfgs):
 
         import torch
 
-        export = ti.raft_export if arch == "raft" else ti.dceiflow_export
+        export = {"raft": ti.raft_export,
+                  "eraft": ti.eraft_export}.get(arch, ti.dceiflow_export)
         sd = export(jax.device_get(params), jax.device_get(state))
         sd = {k: torch.from_numpy(np.ascontiguousarray(v))
               for k, v in sd.items()}
@@ -159,12 +169,18 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Flow-net pretraining")
     configs.add_args(parser)
     parser.add_argument("--flow_arch", default="dceiflow",
-                        choices=["dceiflow", "raft"])
+                        choices=["dceiflow", "raft", "eraft"])
     parser.add_argument("--data_kind", default="chairs2",
                         choices=["chairs2", "sim"])
     args = parser.parse_args()
     cfgs = configs.from_args(args)
-    cfgs.model_mode = "cista-eiflow"
+    # model_mode drives the sim dataset's per-item keys (cista-eraft emits
+    # the event_voxel_old pair member) and default_flow_iters (6 vs 12)
+    cfgs.model_mode = ("cista-eraft" if args.flow_arch == "eraft"
+                       else "cista-eiflow")
     cfgs.flow_arch = args.flow_arch
     cfgs.data_kind = args.data_kind
+    if args.flow_arch == "eraft" and args.data_kind != "sim":
+        parser.error("--flow_arch eraft needs --data_kind sim "
+                     "(chairs2 has no event stream for the voxel pair)")
     main(cfgs)

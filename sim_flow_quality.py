@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from cista_flow_tpu import configs, parallel
 from cista_flow_tpu.data import sim
 from cista_flow_tpu.data.sim import SimFlowPairs
-from cista_flow_tpu.models import dceiflow
+from cista_flow_tpu.models import dceiflow, eraft
 from cista_flow_tpu.utils.profiling import StepTimer
 
 import pretrain_flow as pf
@@ -48,18 +48,24 @@ _FWD_CACHE = {}
 def _get_fwd(cfg):
     """jit'd eval forward, cached per (dtype, iters) so the per-epoch
     held-out evals reuse one compilation instead of recompiling each call."""
-    key = (cfg.dtype, cfg.default_flow_iters())
+    arch = getattr(cfg, "flow_arch", "dceiflow")
+    key = (cfg.dtype, cfg.default_flow_iters(), arch)
     if key not in _FWD_CACHE:
 
         @jax.jit
-        def fwd(params, state, voxel, img0):
+        def fwd(params, state, voxel, img0_or_old):
             if cfg.dtype == "bfloat16":
                 params = jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16)
                     if x.dtype == jnp.float32 else x, params)
-            out, _ = dceiflow.apply(params, state, voxel, img0, cfg,
-                                    iters=cfg.default_flow_iters(),
-                                    train=False, collect_preds=False)
+            if arch == "eraft":
+                out, _ = eraft.apply(params, state, img0_or_old, voxel, cfg,
+                                     iters=cfg.default_flow_iters(),
+                                     train=False, collect_preds=False)
+            else:
+                out, _ = dceiflow.apply(params, state, voxel, img0_or_old,
+                                        cfg, iters=cfg.default_flow_iters(),
+                                        train=False, collect_preds=False)
             return out["flow_final"].astype(jnp.float32)
 
         _FWD_CACHE[key] = fwd
@@ -92,9 +98,12 @@ def mean_epe(ds, cfg, params, state, batch_size, zero_flow=False):
             flow = jnp.zeros_like(gt)
         else:
             cdt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+            second = (batch["event_voxel_old"]
+                      if getattr(cfg, "flow_arch", "dceiflow") == "eraft"
+                      else batch["gt_img0"][..., :1])
             flow = fwd(params, state,
                        jnp.asarray(batch["event_voxel"], cdt),
-                       jnp.asarray(batch["gt_img0"][..., :1], cdt))
+                       jnp.asarray(second, cdt))
         epe = jnp.sqrt(jnp.sum((flow - gt) ** 2, axis=-1))
         tot += float(jnp.sum(jnp.mean(epe, axis=(1, 2))[:real]))
         n += real
@@ -115,7 +124,13 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--flow_arch", default="dceiflow",
+                    choices=["dceiflow", "eraft"],
+                    help="eraft: events-only flow over consecutive voxel "
+                         "pairs (ref: ERAFT/eraft.py:114); supervision and "
+                         "eval are otherwise identical")
     args = ap.parse_args(argv)
+    mm = "cista-eraft" if args.flow_arch == "eraft" else "cista-eiflow"
 
     h, w = args.image_dim
     train_dir = os.path.join(args.workdir, "train")
@@ -135,7 +150,7 @@ def main(argv=None):
                                 omega_range=omega_range)
 
     cfg = configs.Config(
-        model_mode="cista-eiflow", image_dim=(h, w),
+        model_mode=mm, image_dim=(h, w),
         path_to_train_data=train_dir,
         path_to_model=os.path.join(args.workdir, "models"),
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
@@ -143,16 +158,18 @@ def main(argv=None):
         # independent pairs: no BPTT sequence grouping
         len_sequence=1)
     cfg.data_kind = "sim"
-    cfg.flow_arch = "dceiflow"
+    cfg.flow_arch = args.flow_arch
 
-    ecfg = configs.Config(model_mode="cista-eiflow", image_dim=(h, w),
+    ecfg = configs.Config(model_mode=mm, image_dim=(h, w),
                           path_to_train_data=eval_dir, dtype=args.dtype,
                           len_sequence=1)
+    ecfg.flow_arch = args.flow_arch
     eval_ds = SimFlowPairs(ecfg)
 
     # f32 master weights; cfg.dtype drives the compute precision (the train
     # step and the eval fwd cast to bf16 internally, like the composite path)
-    params, state = dceiflow.init(jax.random.PRNGKey(cfg.seed), cfg)
+    init = eraft.init if args.flow_arch == "eraft" else dceiflow.init
+    params, state = init(jax.random.PRNGKey(cfg.seed), cfg)
 
     epe_zero = mean_epe(eval_ds, cfg, params, state, args.batch_size,
                         zero_flow=True)
@@ -164,7 +181,8 @@ def main(argv=None):
     print(f"SimFlowPairs: {len(train_ds)} training pairs")
     opt = parallel.make_optimizer(cfg.lr)
     opt_state = opt.init(params)
-    step = pf.make_train_step(cfg, opt, is_bi=False)
+    step = pf.make_train_step(cfg, opt, is_bi=False,
+                              flow_arch=args.flow_arch)
     rng = np.random.default_rng(cfg.seed)
     for epoch in range(args.epochs):
         timer = StepTimer(f"epoch{epoch + 1}")
@@ -191,10 +209,13 @@ def main(argv=None):
     from cista_flow_tpu.ckpt import torch_import as ti
     out_dir = os.path.join(args.workdir, "models")
     os.makedirs(out_dir, exist_ok=True)
-    sd = ti.dceiflow_export(jax.device_get(params), jax.device_get(state))
+    export = (ti.eraft_export if args.flow_arch == "eraft"
+              else ti.dceiflow_export)
+    sd = export(jax.device_get(params), jax.device_get(state))
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in sd.items()}
-    ckpt = os.path.join(out_dir, f"dceiflow_sim_{args.epochs}.pth.tar")
+    ckpt = os.path.join(out_dir,
+                        f"{args.flow_arch}_sim_{args.epochs}.pth.tar")
     torch.save({"epoch": args.epochs - 1, "model": sd}, ckpt)
 
     out = {
