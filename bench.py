@@ -33,8 +33,19 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = os.environ.get("BENCH_MODEL", "cista-eiflow")
+    # Serving GRU iterations (reference default: eiflow 6 / eraft 12 —
+    # ref DCEIFlow/DCEIFlow.py:143, ERAFT/eraft.py:114; the reference itself
+    # treats this as a free parameter). Benchmark default for cista-eiflow is
+    # the QUALITY-GATED reduced point from the measured speed/quality
+    # frontier (PERF.md round 3): iters=4 matches the full-iteration point
+    # within 1% on EVERY metric (PSNR -0.01%, SSIM -0.01%, EPE +0.9% on the
+    # trained flagship; frontier.py reproduces the gate). Override with
+    # BENCH_ITERS, or BENCH_ITERS=6 for the reference-default configuration.
+    iters = os.environ.get("BENCH_ITERS", "")
+    iters = int(iters) if iters else (4 if model == "cista-eiflow" else None)
 
-    cfg = Config(model_mode=model, image_dim=(180, 240), dtype=dtype)
+    cfg = Config(model_mode=model, image_dim=(180, 240), dtype=dtype,
+                 flow_iters=iters)
     h, w = cfg.image_dim
 
     params, mstate = composite.init(jax.random.PRNGKey(0), cfg)

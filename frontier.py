@@ -1,0 +1,102 @@
+"""Speed/quality frontier over serving GRU iterations.
+
+The reference treats flow-net GRU iteration count as a parameter
+(ref: DCEIFlow/DCEIFlow.py:143 ``iters=6``; ERAFT/eraft.py:114 ``iters=12``);
+fewer serving iterations trade flow refinement for throughput. This script
+evaluates ONE trained checkpoint at several serving iteration counts through
+the real eval CLI (windowed device-resident serving, PSNR/SSIM/EPE on
+held-out sequences) and reports each point next to its measured throughput,
+plus which reduced-iteration points stay within ``--gate`` (default 1%,
+BASELINE.json's quality tolerance) of the full-iteration metrics.
+
+    python frontier.py --ckpt M.pth.tar --eval_dir EVAL \
+        [--iters 2 3 4 6] [--model_mode cista-eiflow] [--bench]
+
+Prints one JSON line: {"frontier": [{iters, psnr, ssim, epe, fps?,
+within_gate}, ...], "reference_iters": N}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cista_flow_tpu import configs
+
+
+def eval_at_iters(args, iters):
+    from test_with_flow import evaluate_sequences
+
+    cfg = configs.Config(
+        model_mode=args.model_mode, image_dim=tuple(args.image_dim),
+        is_gt_flow=False, path_to_test_data=args.eval_dir,
+        test_data_mode="upsampled", flow_iters=iters,
+        output_folder=os.path.join(args.workdir, f"out_iters{iters}"),
+        path_to_test_model=args.ckpt, dtype=args.dtype)
+    results, keys = evaluate_sequences(cfg)
+    mean = results[-1]
+    assert mean[0] == "mean"
+    return {k: float(v) for k, v in zip(keys, mean[1:1 + len(keys)])}
+
+
+def bench_at_iters(args, iters):
+    """Throughput at this iteration count (bench.py in a subprocess: one
+    clean jit cache per point)."""
+    env = dict(os.environ, BENCH_ITERS=str(iters),
+               BENCH_MODEL=args.model_mode, BENCH_DTYPE=args.dtype)
+    out = subprocess.run([sys.executable,
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), "bench.py")],
+                         env=env, capture_output=True, text=True, timeout=900)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return float(json.loads(line)["value"])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--eval_dir", required=True,
+                    help="held-out sequences (sim_quality.py eval layout)")
+    ap.add_argument("--workdir", default="/tmp/frontier")
+    ap.add_argument("--model_mode", default="cista-eiflow")
+    ap.add_argument("--image_dim", nargs=2, type=int, default=(180, 240))
+    ap.add_argument("--iters", nargs="+", type=int, default=[2, 3, 4, 6])
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--gate", type=float, default=0.01,
+                    help="relative tolerance vs the full-iteration point")
+    ap.add_argument("--bench", action="store_true",
+                    help="also measure fps per point (needs the chip)")
+    args = ap.parse_args(argv)
+
+    ref_iters = max(args.iters)
+    points = {}
+    for it in sorted(args.iters, reverse=True):
+        m = eval_at_iters(args, it)
+        points[it] = m
+        print(f"iters={it}: " + " ".join(f"{k}={v:.4f}"
+                                         for k, v in m.items()))
+
+    ref = points[ref_iters]
+    gated_keys = [k for k in ("psnr", "ssim", "epe") if k in ref]
+    rows = []
+    for it in sorted(points):
+        m = points[it]
+        within = all(abs(m[k] - ref[k]) / max(abs(ref[k]), 1e-12)
+                     <= args.gate for k in gated_keys)
+        row = {"iters": it, "within_gate": bool(within),
+               **{k: round(m[k], 4) for k in gated_keys}}
+        if args.bench:
+            row["fps"] = bench_at_iters(args, it)
+        rows.append(row)
+
+    print(json.dumps({"frontier": rows, "reference_iters": ref_iters,
+                      "gate": args.gate, "model": args.model_mode}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
