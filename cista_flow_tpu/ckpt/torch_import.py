@@ -383,7 +383,7 @@ def save_torch_checkpoint(path: str, params, model_state, model_mode: str,
     import torch
 
     sd = composite_export(params, model_state, model_mode, depth)
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
     torch.save({"epoch": epoch, "state_dict": sd}, path)
 
 

@@ -15,7 +15,7 @@ all-reduce over ICI.
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,10 +26,55 @@ from ..losses.recon import flow_recon_loss
 from .mesh import batch_sharding, replicated
 
 
+class _AdamState(NamedTuple):
+    count: dict  # per-top-level-subtree step counts ({'cista': t, 'flow': t})
+    mu: dict
+    nu: dict
+
+
+def _adam_per_subtree(learning_rate, b1=0.9, b2=0.999, eps=1e-8):
+    """torch.optim.Adam semantics with PER-SUBTREE step counts.
+
+    torch keeps a per-param ``step`` that only advances when the param has a
+    grad; under the alternating freeze schedule (ref: train.py:116-129 +
+    requires_grad=False in fix_params, e2v/e2v_model.py:116-133) a subnet
+    coming out of a frozen phase therefore restarts its bias correction at
+    t=1. A global optax count would instead resume at t=N (large), shrinking
+    the fresh-moment bias correction by ~(1-b1) / sqrt(1-b2) ≈ 3.2x at the
+    phase boundary. Counts here live per top-level key so the train step's
+    frozen-subtree state restore (``_select_frozen``) freezes them too —
+    matching torch's trajectory exactly (pinned by
+    tests/test_train_trajectory.py).
+    """
+
+    def init_fn(params):
+        zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)  # noqa: E731
+        return _AdamState(count={k: jnp.zeros([], jnp.int32) for k in params},
+                          mu=zeros(params), nu=zeros(params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(lambda g, m: b1 * m + (1 - b1) * g,
+                                    updates, state.mu)
+        nu = jax.tree_util.tree_map(lambda g, v: b2 * v + (1 - b2) * g * g,
+                                    updates, state.nu)
+        count = {k: state.count[k] + 1 for k in updates}
+        out = {}
+        for k in updates:
+            t = count[k].astype(jnp.float32)
+            bc1, bc2 = 1.0 - b1 ** t, 1.0 - b2 ** t
+            out[k] = jax.tree_util.tree_map(
+                lambda m, v: -learning_rate * (m / bc1)
+                / (jnp.sqrt(v / bc2) + eps), mu[k], nu[k])
+        return out, _AdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(lr: float) -> optax.GradientTransformation:
     """Adam with injectable lr (reference: Adam + StepLR(10, 0.9) + the
     phase-3 hard override to 3e-5 — ref: train.py:92-95,123)."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    return optax.inject_hyperparams(_adam_per_subtree)(learning_rate=lr)
 
 
 def set_lr(opt_state, lr: float):
@@ -153,9 +198,9 @@ def make_train_step(cfg, optimizer, loss_mode: str, fix_net_name: str | None,
             loss_fn, has_aux=True)(params, model_state, seq)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         if frozen_key is not None:
-            # frozen subtree: zero update, preserve Adam moments (torch's
-            # requires_grad=False semantics; the global step count still
-            # advances — optax Adam has no per-param step, documented drift)
+            # frozen subtree: zero update, preserve its Adam moments AND its
+            # per-subtree step count (torch's requires_grad=False semantics —
+            # see _adam_per_subtree)
             zeros = jax.tree_util.tree_map(jnp.zeros_like, updates)
             updates = _select_frozen(frozen_key, updates, zeros)
             new_opt_state = _select_frozen(frozen_key, new_opt_state, opt_state)

@@ -60,7 +60,8 @@ def make_train_step(cfg, opt, is_bi, flow_arch="dceiflow"):
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, params)
             batch = dict(batch)
-            for k in ("event_voxel", "event_voxel_bw", "gt_img0", "gt_img1"):
+            for k in ("event_voxel", "event_voxel_bw", "event_voxel_old",
+                      "gt_img0", "gt_img1"):
                 if k in batch:
                     batch[k] = batch[k].astype(jnp.bfloat16)
         if flow_arch == "raft":
@@ -158,7 +159,7 @@ def main(cfgs):
         export = {"raft": ti.raft_export,
                   "eraft": ti.eraft_export}.get(arch, ti.dceiflow_export)
         sd = export(jax.device_get(params), jax.device_get(state))
-        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+        sd = {k: torch.from_numpy(np.array(v))
               for k, v in sd.items()}
         path = os.path.join(out_dir, f"{arch}_{epoch + 1}.pth.tar")
         torch.save({"epoch": epoch, "model": sd}, path)

@@ -212,7 +212,7 @@ def main(argv=None):
     export = (ti.eraft_export if args.flow_arch == "eraft"
               else ti.dceiflow_export)
     sd = export(jax.device_get(params), jax.device_get(state))
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    sd = {k: torch.from_numpy(np.array(v))
           for k, v in sd.items()}
     ckpt = os.path.join(out_dir,
                         f"{args.flow_arch}_sim_{args.epochs}.pth.tar")
