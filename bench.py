@@ -26,8 +26,11 @@ BASELINE_FPS = 2000.0
 
 
 def main():
+    from cista_flow_tpu import compile_cache
     from cista_flow_tpu.configs import Config
     from cista_flow_tpu.models import composite
+
+    compile_cache.enable()
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))

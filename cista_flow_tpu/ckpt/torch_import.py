@@ -15,7 +15,21 @@ import jax.numpy as jnp
 
 
 def load_state_dict(path: str) -> dict:
-    """Load a torch checkpoint into a {key: np.ndarray} dict."""
+    """Load a checkpoint into a {key: np.ndarray} dict.
+
+    ``.npz`` files (torch-free; e.g. the committed quality-gate anchor in
+    ``gate/``) hold the same reference-layout key set as a ``.pth.tar``
+    state_dict; reduced-precision (f16/bf16) archives are upcast to f32 —
+    the compute path re-casts to its serving dtype.
+    """
+    if path.endswith(".npz"):
+        z = np.load(path)
+        out = {}
+        for k in z.files:
+            v = z[k]
+            key = k[7:] if k.startswith("module.") else k
+            out[key] = v.astype(np.float32) if v.dtype == np.float16 else v
+        return out
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

@@ -188,6 +188,11 @@ def add_args(parser: argparse.ArgumentParser) -> None:
 
 
 def from_args(args: argparse.Namespace) -> Config:
+    # every CLI funnels through here: switch on the persistent XLA
+    # compilation cache for the process (TPU default, see compile_cache.py)
+    from cista_flow_tpu import compile_cache
+
+    compile_cache.enable()
     fields = {f.name for f in dataclasses.fields(Config)}
     kw = {k: v for k, v in vars(args).items() if k in fields}
     if "image_dim" in kw and kw["image_dim"] is not None:

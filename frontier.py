@@ -57,6 +57,9 @@ def bench_at_iters(args, iters):
 
 
 def main(argv=None):
+    from cista_flow_tpu import compile_cache
+
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--eval_dir", required=True,

@@ -68,6 +68,9 @@ def run_eval(workdir, eval_dir, h, w, dtype, ckpt=None, tag="init",
 
 
 def main(argv=None):
+    from cista_flow_tpu import compile_cache
+
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/sim_quality")
     ap.add_argument("--image_dim", nargs=2, type=int, default=(180, 240))
@@ -96,6 +99,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate an existing checkpoint only")
+    ap.add_argument("--load_epoch_for_train", type=int, default=0,
+                    help="resume training from this saved epoch's .pth.tar "
+                         "(ref: train.py:57-60 resume semantics)")
     args = ap.parse_args(argv)
 
     h, w = args.image_dim
@@ -116,7 +122,8 @@ def main(argv=None):
         epochs=args.epochs, flow_epoch=args.flow_epoch, rec_epoch=rec_epoch,
         batch_size=args.batch_size, len_sequence=args.len_sequence,
         lr=args.lr, dtype=args.dtype, remat=args.remat, shuffle=True,
-        seed=args.seed, path_to_flownet=args.path_to_flownet)
+        seed=args.seed, path_to_flownet=args.path_to_flownet,
+        load_epoch_for_train=args.load_epoch_for_train)
 
     from cista_flow_tpu.runner import model_name_from_cfg
     mdl = model_name_from_cfg(tcfg)

@@ -87,3 +87,20 @@ def test_export_roundtrip(ref_net):
     assert set(sd.keys()) == set(ref_sd.keys())
     for k in sd:
         np.testing.assert_allclose(sd[k], ref_sd[k], rtol=1e-6, atol=1e-7)
+
+
+def test_npz_state_dict_roundtrip(ref_net, tmp_path):
+    """.npz checkpoints (torch-free path, e.g. the gate/ anchor) load
+    through load_state_dict with module-prefix stripping and f16 upcast."""
+    ref_sd = ti.from_torch(ref_net)
+    path = str(tmp_path / "ckpt.npz")
+    np.savez(path, **{("module." + k): v.astype(np.float16)
+                      for k, v in ref_sd.items()})
+    sd = ti.load_state_dict(path)
+    assert set(sd.keys()) == set(ref_sd.keys())
+    for k in sd:
+        assert sd[k].dtype == np.float32
+        np.testing.assert_allclose(sd[k], ref_sd[k], rtol=2e-3, atol=2e-3)
+    # loads into the model pytree
+    params = ti.cista_lstc_params(sd)
+    assert params is not None

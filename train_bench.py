@@ -33,6 +33,9 @@ import jax.numpy as jnp
 
 
 def main(argv=None):
+    from cista_flow_tpu import compile_cache
+
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--len_sequence", type=int, default=10)
