@@ -235,3 +235,32 @@ def test_remat_matches_no_remat(cfg):
                     jax.tree_util.tree_leaves(pb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_train_step_with_lpips_in_graph(cfg):
+    """The perceptual term compiles into the BPTT train step and changes
+    the loss and the gradients (random LPIPS weights — the committed
+    conversion pipeline supplies real ones; ref: loss.py:340 includes the
+    LPIPS term in ReconLoss)."""
+    from cista_flow_tpu.losses import lpips as lpips_mod
+
+    rng = np.random.default_rng(3)
+    params, mstate = composite.init(jax.random.PRNGKey(3), cfg)
+    opt = parallel.make_optimizer(1e-4)
+    opt_state = opt.init(params)
+    seq = make_seq(rng, 2, 2, 32, 48, 5, with_old=True)
+
+    lp = lpips_mod.init(jax.random.PRNGKey(7), net="alex")
+    kw = dict(loss_mode="rec", fix_net_name="flow", use_gt_flow=False,
+              donate=False)
+    step_plain = parallel.make_train_step(cfg, opt, **kw)
+    step_lpips = parallel.make_train_step(cfg, opt, lpips_params=lp, **kw)
+
+    p0, _, o0, loss_plain = step_plain(params, mstate, opt_state, seq)
+    p1, _, o1, loss_lpips = step_lpips(params, mstate, opt_state, seq)
+    assert np.isfinite(float(loss_lpips))
+    # the perceptual term contributes: loss and updated params both differ
+    assert abs(float(loss_lpips) - float(loss_plain)) > 1e-6
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), p0["cista"], p1["cista"]))
+    assert not same
