@@ -49,15 +49,17 @@ def _deblur(voxel: jnp.ndarray, flow: jnp.ndarray,
     B, H, W, V = voxel.shape
     xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-    outs = []
-    for t_idx in range(V):
-        scale = t_idx / (V - 1) if mode == "voxel" else (t_idx + 0.5) / V
-        gx = (xx + flow[..., 0] * scale) / (W - 1) * 2.0 - 1.0
-        gy = (yy + flow[..., 1] * scale) / (H - 1) * 2.0 - 1.0
-        grid = jnp.stack([gx, gy], axis=-1)
-        outs.append(grid_sample(voxel[..., t_idx:t_idx + 1], grid,
-                                align_corners=False, padding_mode="zeros"))
-    return jnp.concatenate(outs, axis=-1)
+    # one batched warp over all bins (bins folded onto the batch axis):
+    # per-bin math is unchanged, but the gather runs as a single launch
+    scales = jnp.asarray(
+        [t / (V - 1) if mode == "voxel" else (t + 0.5) / V
+         for t in range(V)], jnp.float32).reshape(V, 1, 1, 1)
+    gx = (xx[None] + flow[None, ..., 0] * scales) / (W - 1) * 2.0 - 1.0
+    gy = (yy[None] + flow[None, ..., 1] * scales) / (H - 1) * 2.0 - 1.0
+    grid = jnp.stack([gx, gy], axis=-1).reshape(V * B, H, W, 2)
+    src = jnp.transpose(voxel, (3, 0, 1, 2)).reshape(V * B, H, W, 1)
+    out = grid_sample(src, grid, align_corners=False, padding_mode="zeros")
+    return jnp.transpose(out.reshape(V, B, H, W), (1, 2, 3, 0))
 
 
 def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
@@ -103,12 +105,17 @@ def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
             net = jnp.zeros((B, H // DOWNSAMPLE, W // DOWNSAMPLE, HIDDEN_DIM),
                             x_raw.dtype)
         # fold per-bin features: slice = (B, H, W, 2) (bin duplicated, ref
-        # stacks [x_deblur, x_deblur] on a channel axis — idn/idedeq.py:166)
-        for t_idx in range(V):
-            s = src[..., t_idx:t_idx + 1]
-            f = E.lite_encoder(params["fnet"], jnp.concatenate([s, s], -1),
+        # stacks [x_deblur, x_deblur] on a channel axis — idn/idedeq.py:166).
+        # The V encoder calls are independent of the GRU recurrence, so they
+        # run as ONE batched call (bins on the batch axis — 5x the MXU batch
+        # per launch); only the GRU folds stay sequential.
+        sb = jnp.transpose(src, (3, 0, 1, 2)).reshape(V * B, H, W, 1)
+        feats = E.lite_encoder(params["fnet"],
+                               jnp.concatenate([sb, sb], -1),
                                stage_strides=(2, 2))
-            net = G.conv_gru(params["update"]["gru"], net, f)
+        feats = feats.reshape(V, B, *feats.shape[1:])
+        for t_idx in range(V):
+            net = G.conv_gru(params["update"]["gru"], net, feats[t_idx])
 
         dflow = G.flow_head(params["update"]["flow_head"], net)
         up_mask = G.mask_head(params["update"]["mask"], net)
