@@ -1,0 +1,96 @@
+"""Export the standing quality-gate anchor: trained checkpoint -> gate/.
+
+Takes a trained flagship `.pth.tar` (sim_quality.py's output) and produces
+the two committed artifacts of the standing quality regression gate:
+
+* ``gate/flagship_sim40_f16.npz`` — the reference-layout state_dict
+  (ref checkpoint layout: /root/reference/train.py:137-140) stored float16
+  to keep the committed blob small; `ckpt.load_state_dict` upcasts on load.
+* ``gate/targets_sim_eiflow.json`` — the gate-config eval metrics recorded
+  from the f16 anchor itself (so the gate pins exactly what is committed,
+  not the discarded f32 original), via ``eval_harness.py --save_targets``
+  on deterministic held-out simulated sequences (sim_quality.ensure_data
+  seeds).
+
+``tests/test_quality_gate.py`` replays the same eval from the committed
+anchor and fails on metric drift — the standing regression gate for the
+whole serving stack (reader -> windowed device-resident serving -> model ->
+metrics).
+
+Usage:
+    python gate_export.py --ckpt /tmp/simq3/models/.../..._40.pth.tar \
+        [--workdir /tmp/gate_eval] [--gate_dir gate]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def export_npz(ckpt_path: str, out_path: str) -> dict:
+    """Convert a .pth.tar (or .npz) state dict to an f16 .npz archive."""
+    from cista_flow_tpu.ckpt import torch_import
+
+    sd = torch_import.load_state_dict(ckpt_path)
+    f16 = {k: np.asarray(v, dtype=np.float16) for k, v in sd.items()}
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez_compressed(out_path, **f16)
+    return f16
+
+
+def record_targets(npz_path: str, targets_path: str, eval_dir: str,
+                   model_mode: str = "cista-eiflow",
+                   dtype: str = "float32") -> None:
+    import eval_harness
+
+    eval_harness.main([
+        "--harness_mode", "with_flow",
+        "--model_mode", model_mode,
+        "--image_dim", "180", "240",
+        "--path_to_test_data", eval_dir,
+        "--test_data_mode", "upsampled",
+        "--path_to_test_model", npz_path,
+        "--dtype", dtype,
+        "--targets", targets_path,
+        "--save_targets",
+    ])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True,
+                    help="trained flagship .pth.tar (sim_quality.py output)")
+    ap.add_argument("--workdir", default="/tmp/gate_eval",
+                    help="scratch dir for the regenerated held-out eval data")
+    ap.add_argument("--gate_dir", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "gate"))
+    ap.add_argument("--model_mode", default="cista-eiflow")
+    ap.add_argument("--dtype", default="float32",
+                    help="targets eval dtype (float32 = CPU-reproducible)")
+    args = ap.parse_args(argv)
+
+    import sim_quality
+
+    os.makedirs(args.workdir, exist_ok=True)
+    eval_dir = sim_quality.ensure_eval_data(args.workdir, 180, 240,
+                                            eval_frames=30, seed=0)
+
+    npz_path = os.path.join(args.gate_dir, "flagship_sim40_f16.npz")
+    targets_path = os.path.join(args.gate_dir, "targets_sim_eiflow.json")
+    export_npz(args.ckpt, npz_path)
+    print(f"wrote {npz_path} "
+          f"({os.path.getsize(npz_path) / 1e6:.1f} MB)")
+    record_targets(npz_path, targets_path, eval_dir,
+                   model_mode=args.model_mode, dtype=args.dtype)
+    with open(targets_path) as f:
+        print("targets:", json.dumps(json.load(f)))
+
+
+if __name__ == "__main__":
+    main()

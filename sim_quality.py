@@ -33,21 +33,28 @@ from cista_flow_tpu import configs
 from cista_flow_tpu.data import sim
 
 
+def ensure_eval_data(workdir, h, w, eval_frames, seed):
+    """Deterministic held-out eval sequences (seeds disjoint from every
+    training seed). Shared with gate_export.py / tests/test_quality_gate.py
+    so the standing quality gate replays EXACTLY these sequences."""
+    eval_dir = os.path.join(workdir, "eval")
+    for s in range(2):
+        sdir = os.path.join(eval_dir, f"sim_{s:02d}")
+        if not os.path.exists(os.path.join(sdir, "timestamps.txt")):
+            sim.write_eval_sequence(sdir, sim.simulate_sequence(
+                seed + 777_000 + s, eval_frames, h, w))
+    return eval_dir
+
+
 def ensure_data(workdir, h, w, n_videos, n_frames, eval_frames, seed):
     train_dir = os.path.join(workdir, "train")
-    eval_dir = os.path.join(workdir, "eval")
     idx = os.path.join(train_dir, "train_e2v_estflow.txt")
     if not os.path.exists(idx):
         print(f"generating training data ({n_videos} videos x {n_frames} "
               f"frames at {h}x{w})...")
         sim.write_train_dataset(train_dir, n_videos, n_frames, h, w,
                                 seed=seed)
-    for s in range(2):
-        sdir = os.path.join(eval_dir, f"sim_{s:02d}")
-        if not os.path.exists(os.path.join(sdir, "timestamps.txt")):
-            # held-out seeds: disjoint from every training seed
-            sim.write_eval_sequence(sdir, sim.simulate_sequence(
-                seed + 777_000 + s, eval_frames, h, w))
+    eval_dir = ensure_eval_data(workdir, h, w, eval_frames, seed)
     return train_dir, eval_dir
 
 
