@@ -257,11 +257,39 @@ def apply_sequence_eraft(params, model_state, voxel_seq, state, cfg,
                                       train=False)
     encoded = (fmap1, fmap_new, cnet_new)
 
-    batch_flow, _ = eraft.apply(params["flow"], model_state["flow"], old, new,
-                                cfg, iters=iters, collect_preds=False,
-                                encoded=encoded)
-    flows = batch_flow["flow_final"].reshape(t_len, b,
-                                             *batch_flow["flow_final"].shape[1:])
+    # Time-subchunked flow net (CISTA_ERAFT_TCHUNK=k): identical per-sample
+    # math, but the GRU+corr stage runs as a lax.scan over t_len/k groups of
+    # k*b samples instead of one t_len*b mega-batch. Cuts the compiled graph
+    # (the 160-step window's single-batch flow call measured a 34 MB
+    # executable / ~3.5 min cold compile through the remote-compile tunnel)
+    # and the peak corr-volume footprint (one (k*b, HW, H*W) pyramid live at
+    # a time instead of (t_len*b, ...)), at the cost of serializing the
+    # groups. Exactness pinned by tests/test_sequence_eraft.py.
+    tchunk = int(_os.environ.get("CISTA_ERAFT_TCHUNK", "0"))
+    if 0 < tchunk < t_len and t_len % tchunk == 0:
+        g = t_len // tchunk
+
+        def _grp(x):
+            return x.reshape(g, tchunk * b, *x.shape[1:])
+
+        def flow_body(_, xs):
+            o, n, f1, fn, cn = xs
+            bf, _unused = eraft.apply(
+                params["flow"], model_state["flow"], o, n, cfg, iters=iters,
+                collect_preds=False, encoded=(f1, fn, cn))
+            return None, bf["flow_final"]
+
+        _, flows_g = jax.lax.scan(
+            flow_body, None,
+            (_grp(old), _grp(new), _grp(fmap1), _grp(fmap_new),
+             _grp(cnet_new)))
+        flows = flows_g.reshape(t_len, b, *flows_g.shape[2:])
+    else:
+        batch_flow, _ = eraft.apply(params["flow"], model_state["flow"],
+                                    old, new, cfg, iters=iters,
+                                    collect_preds=False, encoded=encoded)
+        flows = batch_flow["flow_final"].reshape(
+            t_len, b, *batch_flow["flow_final"].shape[1:])
 
     if rec0 is None:
         h, w = cfg.image_dim

@@ -42,3 +42,27 @@ def test_apply_sequence_eraft_matches_stepwise():
                                    rtol=1e-4, atol=1e-5, err_msg=f"flow {t}")
         np.testing.assert_allclose(np.asarray(recs[t]), recs_ref[t],
                                    rtol=1e-4, atol=1e-5, err_msg=f"rec {t}")
+
+
+def test_apply_sequence_eraft_tchunk_exact(monkeypatch):
+    """CISTA_ERAFT_TCHUNK subchunked flow stage == single mega-batch call."""
+    cfg = Config(image_dim=(32, 48), model_mode="cista-eraft", flow_iters=1)
+    params, mstate = composite.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    T, B = 4, 2
+    voxel_seq = jnp.asarray(
+        rng.standard_normal((T + 1, B, 32, 48, 5)).astype(np.float32))
+
+    state0 = composite.zero_state(B, cfg)
+    recs_full, flows_full, _ = composite.apply_sequence_eraft(
+        params, mstate, voxel_seq, state0, cfg)
+
+    monkeypatch.setenv("CISTA_ERAFT_TCHUNK", "2")
+    state0 = composite.zero_state(B, cfg)
+    recs_c, flows_c, _ = composite.apply_sequence_eraft(
+        params, mstate, voxel_seq, state0, cfg)
+
+    np.testing.assert_allclose(np.asarray(flows_c), np.asarray(flows_full),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(recs_c), np.asarray(recs_full),
+                               rtol=1e-5, atol=1e-6)
