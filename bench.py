@@ -157,12 +157,25 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = steps * chunk * batch / dt
+    # the exact measured configuration, so the number is reproducible from
+    # the record alone (no ambient env needed)
+    resolved = {
+        "model": model, "batch": batch, "chunk": chunk, "steps": steps,
+        "dtype": dtype, "flow_iters": cfg.default_flow_iters(),
+        "depth": cfg.depth,
+        "encoder_merge": cfg.encoder_merge,
+        "serve_pallas": cfg.serve_pallas,
+        "corr_fuse_proj": cfg.corr_fuse_proj,
+        "eraft_pair_tower": cfg.eraft_pair_tower,
+        "eraft_tchunk": cfg.eraft_tchunk,
+    }
     print(json.dumps({
         "metric": "e2e_recon_frames_per_sec_180x240_"
                   + model.replace("-", "_"),
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "config": resolved,
     }))
 
 

@@ -8,7 +8,27 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from dataclasses import dataclass, field
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    return v not in ("0", "false", "False", "no")
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    try:
+        return int(v)
+    except ValueError:
+        import warnings
+        warnings.warn(f"{name}={v!r} is not an int; using default {default}")
+        return default
 
 
 @dataclass
@@ -89,6 +109,25 @@ class Config:
     orbax_ckpt: bool = False         # also write native orbax checkpoints
     save_every_steps: int = 0        # >0: mid-epoch preemption-safe saves
     remat: bool = False              # rematerialize BPTT steps (large batch)
+
+    # Serving/kernel knobs (TPU extensions). These change which exactness-
+    # pinned formulation runs, so they are CONFIG, not ambient env; the
+    # CISTA_* env vars remain available as overrides of the defaults only
+    # (a set env var changes the default; an explicit CLI flag wins).
+    # PERF.md documents each formulation and its measured A/B.
+    encoder_merge: str = field(default_factory=lambda: {
+        "0": "", "1": "trio", "pair": "pair", "trio": "trio", "": ""}.get(
+            os.environ.get("CISTA_TRIO", "pair"), "pair"))
+    serve_pallas: bool = field(default_factory=lambda: _env_bool(
+        "CISTA_SERVE_PALLAS", True))       # Pallas corr lookup when serving
+    train_pallas: bool = field(default_factory=lambda: _env_bool(
+        "CISTA_TRAIN_PALLAS", False))      # custom_vjp lookup in BPTT graphs
+    corr_fuse_proj: bool = field(default_factory=lambda: _env_bool(
+        "CISTA_CORR_FUSE_PROJ", True))     # motion-enc convc1 inside the kernel
+    eraft_pair_tower: bool = field(default_factory=lambda: _env_bool(
+        "CISTA_ERAFT_PAIR", False))        # block-diag fnet+cnet at step batch
+    eraft_tchunk: int = field(default_factory=lambda: _env_int(
+        "CISTA_ERAFT_TCHUNK", 0))          # time-subchunk the window flow call
 
     # derived / fixed (ref: e2v/e2v_model.py:111)
     scale_factor: float = 0.5
@@ -186,6 +225,20 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--save_every_steps", default=0, type=int)
 
+    # serving/kernel knobs (defaults resolved in Config, incl. env overrides;
+    # passing a flag explicitly always wins)
+    parser.add_argument("--encoder_merge", default=None, type=str,
+                        choices=["", "pair", "trio"])
+    parser.add_argument("--serve_pallas", default=None,
+                        action=argparse.BooleanOptionalAction)
+    parser.add_argument("--train_pallas", default=None,
+                        action=argparse.BooleanOptionalAction)
+    parser.add_argument("--corr_fuse_proj", default=None,
+                        action=argparse.BooleanOptionalAction)
+    parser.add_argument("--eraft_pair_tower", default=None,
+                        action=argparse.BooleanOptionalAction)
+    parser.add_argument("--eraft_tchunk", default=None, type=int)
+
 
 def from_args(args: argparse.Namespace) -> Config:
     # every CLI funnels through here: switch on the persistent XLA
@@ -195,6 +248,12 @@ def from_args(args: argparse.Namespace) -> Config:
     compile_cache.enable()
     fields = {f.name for f in dataclasses.fields(Config)}
     kw = {k: v for k, v in vars(args).items() if k in fields}
+    # knob flags default to None on the CLI = "keep the Config default
+    # (which already folded in any CISTA_* env override)"
+    for knob in ("encoder_merge", "serve_pallas", "train_pallas",
+                 "corr_fuse_proj", "eraft_pair_tower", "eraft_tchunk"):
+        if kw.get(knob) is None:
+            kw.pop(knob, None)
     if "image_dim" in kw and kw["image_dim"] is not None:
         kw["image_dim"] = tuple(kw["image_dim"])
     return Config(**kw)

@@ -231,8 +231,7 @@ def apply_sequence_eraft(params, model_state, voxel_seq, state, cfg,
     all_pad = padder.pad(
         voxel_seq.reshape(t_plus1 * b, *voxel_seq.shape[2:]))
     new_pad = padder.pad(new)
-    import os as _os
-    if (_os.environ.get("CISTA_ERAFT_PAIR", "0") == "1"
+    if (getattr(cfg, "eraft_pair_tower", False)
             and voxel_seq.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"):
         fmap_first, _ = E.basic_encoder(
@@ -257,15 +256,23 @@ def apply_sequence_eraft(params, model_state, voxel_seq, state, cfg,
                                       train=False)
     encoded = (fmap1, fmap_new, cnet_new)
 
-    # Time-subchunked flow net (CISTA_ERAFT_TCHUNK=k): identical per-sample
-    # math, but the GRU+corr stage runs as a lax.scan over t_len/k groups of
-    # k*b samples instead of one t_len*b mega-batch. Cuts the compiled graph
-    # (the 160-step window's single-batch flow call measured a 34 MB
-    # executable / ~3.5 min cold compile through the remote-compile tunnel)
-    # and the peak corr-volume footprint (one (k*b, HW, H*W) pyramid live at
-    # a time instead of (t_len*b, ...)), at the cost of serializing the
-    # groups. Exactness pinned by tests/test_sequence_eraft.py.
-    tchunk = int(_os.environ.get("CISTA_ERAFT_TCHUNK", "0"))
+    # Time-subchunked flow net (cfg.eraft_tchunk=k / --eraft_tchunk):
+    # identical per-sample math, but the GRU+corr stage runs as a lax.scan
+    # over t_len/k groups of k*b samples instead of one t_len*b mega-batch.
+    # Cuts the compiled graph (the 160-step window's single-batch flow call
+    # measured a 34 MB executable / ~3.5 min cold compile through the
+    # remote-compile tunnel) and the peak corr-volume footprint (one
+    # (k*b, HW, H*W) pyramid live at a time instead of (t_len*b, ...)), at
+    # the cost of serializing the groups. Exactness pinned by
+    # tests/test_sequence_eraft.py.
+    tchunk = int(getattr(cfg, "eraft_tchunk", 0) or 0)
+    if tchunk and not (0 < tchunk < t_len and t_len % tchunk == 0):
+        # the knob exists to bound the mega-batch flow call — silently
+        # falling back would reintroduce exactly what it guards against
+        import warnings
+        warnings.warn(
+            f"eraft_tchunk={tchunk} does not divide the window t_len="
+            f"{t_len}; falling back to the single mega-batch flow call")
     if 0 < tchunk < t_len and t_len % tchunk == 0:
         g = t_len // tchunk
 

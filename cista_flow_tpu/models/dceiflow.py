@@ -57,7 +57,7 @@ def _fusion(p, x1, x2):
 
 
 def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
-             collect_preds=True):
+             collect_preds=True, cfg=None):
     """collect_preds: emit the full-res upsampled flow at EVERY iteration
     (training loss needs the sequence — ref: DCEIFlow.py:209-227). Inference
     only consumes the final flow, so the per-iteration x8 upsample + stacking
@@ -73,14 +73,15 @@ def _iterate(params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
                  # the 16MB budget at working resolutions; f32
                  # serving (a debug/verification mode) keeps the einsum path
                  and pyr.levels[0].dtype == jnp.bfloat16)
-    fast = not collect_preds and supported and PC.SERVE_PALLAS
+    fast = (not collect_preds and supported
+            and getattr(cfg, "serve_pallas", True))
     train_pallas = (supported and not fast
                     and jax.default_backend() == "tpu"
-                    and PC.TRAIN_PALLAS)
+                    and getattr(cfg, "train_pallas", False))
     if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 
-    fuse_proj = fast and PC.FUSE_PROJ
+    fuse_proj = fast and getattr(cfg, "corr_fuse_proj", True)
 
     # event motion features are identical in every GRU iteration; computed
     # once here since XLA cannot hoist them out of the scan body
@@ -139,7 +140,7 @@ def _single_direction(params, state, emap, fmap1, image1_pad, cfg, iters,
     padder = ImagePadder(cfg.image_dim, min_size=32)
     net, coords1, flow_preds = _iterate(
         params, net, inp, pyr, coords0, coords1, emap, ds, padder, iters,
-        collect_preds=collect_preds)
+        collect_preds=collect_preds, cfg=cfg)
     return coords1 - coords0, flow_preds, pseudo_fmap2, cstate
 
 
@@ -157,14 +158,15 @@ def apply(params, state, event_voxel, image1, cfg, image2=None,
     ev = padder.pad(event_voxel)
 
     cnet_pre = None
-    if (E.TRIO_MODE and not train and image2 is None
+    merge = getattr(cfg, "encoder_merge", "pair")
+    if (merge and not train and image2 is None
             and im1.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"):
         # serving: encoders merged into one block-diagonal tower (exact;
         # nn/encoders.py basic_encoder_multi, PERF.md "Encoder trio").
         # "pair" merges fnet+enet only — the 3-tower dense merge measured
         # e2e-negative (MAC inflation outruns the MFU gain past 2 towers).
-        if E.TRIO_MODE == "trio":
+        if merge == "trio":
             fmap1, emap, cnet_pre = E.basic_encoder_trio(
                 params["fnet"], params["enet"], params["cnet"],
                 state["cnet"], im1, ev, im1)

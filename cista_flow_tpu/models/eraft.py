@@ -55,7 +55,8 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
     if encoded is not None:
         fmap1, fmap2, cnet = encoded
         fstate, cstate = state["fnet"], state["cnet"]
-    elif (E.TRIO_MODE and not train and im1.dtype == jnp.bfloat16
+    elif (getattr(cfg, "encoder_merge", "pair") and not train
+            and im1.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"):
         # serving: fnet(new)+cnet(new) share their input — run as one
         # block-diagonal pair tower (nn/encoders.py); fnet(old) stays its
@@ -97,14 +98,15 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
                  # the 16MB budget at working resolutions; f32
                  # serving (a debug/verification mode) keeps the einsum path
                  and pyr.levels[0].dtype == jnp.bfloat16)
-    fast = not train and not collect_preds and supported and PC.SERVE_PALLAS
+    fast = (not train and not collect_preds and supported
+            and getattr(cfg, "serve_pallas", True))
     train_pallas = (supported and not fast
                     and jax.default_backend() == "tpu"
-                    and PC.TRAIN_PALLAS)
+                    and getattr(cfg, "train_pallas", False))
     if fast:
         pyr_t = PC.pad_pyramid_t(pyr)
 
-    fuse_proj = fast and PC.FUSE_PROJ
+    fuse_proj = fast and getattr(cfg, "corr_fuse_proj", True)
 
     def step(carry, _):
         net, coords1, _ = carry

@@ -17,12 +17,10 @@ from ..ops import conv as C
 
 KAIMING = "kaiming_normal_fan_out_relu"
 
-import os as _os
-
-# "" (off) | "pair" (merge fnet+enet) | "trio" (also cnet; measured
-# e2e-negative — see PERF.md)
-TRIO_MODE = {"0": "", "1": "trio", "pair": "pair", "trio": "trio",
-             "": ""}[_os.environ.get("CISTA_TRIO", "pair")]
+# The encoder-merge mode ("" off | "pair" merge fnet+enet | "trio" also
+# cnet; trio measured e2e-negative — see PERF.md) is configuration, not
+# ambient state: models read cfg.encoder_merge (configs.Config, env
+# CISTA_TRIO honored there as a default override only).
 
 
 def _norm_init(norm_fn: str, ch: int):

@@ -415,20 +415,12 @@ def lookup_corr_pallas(pyr_t: PaddedPyramidT, coords: jnp.ndarray,
             .astype(coords.dtype))
 
 
-# Training-path kernel use (custom_vjp). Default OFF in this environment:
+# Kernel-path selection (serving lookup / training custom_vjp lookup /
+# fused corr projection) is configuration, not ambient module state: the
+# models read cfg.{serve_pallas, train_pallas, corr_fuse_proj}
+# (configs.Config; the CISTA_* env vars are honored there as default
+# overrides only). train_pallas stays default-OFF in this environment —
 # the axon tunnel's remote-compile helper crashes (HTTP 500) on the
-# flagship BPTT train graph once the kernel is embedded, the same class
-# of helper limit as the batch>=4 ceiling (PERF.md "Training"). The
-# kernel + custom_vjp themselves compile and match jax.grad exactly
-# (standalone, under scan, and through a full flow-net grad on the real
-# chip; tests/test_pallas_corr.py) — flip on where the compiler is not
-# proxied: CISTA_TRAIN_PALLAS=1.
-TRAIN_PALLAS = _os.environ.get("CISTA_TRAIN_PALLAS", "0") == "1"
-
-# serving-path kernel use; env-gated for environment A/Bs
-SERVE_PALLAS = _os.environ.get("CISTA_SERVE_PALLAS", "1") == "1"
-
-# fuse the motion encoder's 1x1 corr projection + ReLU into the lookup
-# kernel (serving only; the training path differentiates through the
-# separate conv)
-FUSE_PROJ = _os.environ.get("CISTA_CORR_FUSE_PROJ", "1") == "1"
+# flagship BPTT train graph once the kernel is embedded (PERF.md
+# "Training"); the kernel + custom_vjp match jax.grad exactly
+# (tests/test_pallas_corr.py).

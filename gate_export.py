@@ -34,19 +34,37 @@ import numpy as np
 
 
 def export_npz(ckpt_path: str, out_path: str) -> dict:
-    """Convert a .pth.tar (or .npz) state dict to an f16 .npz archive."""
+    """Convert a .pth.tar (or .npz) state dict to an f16 .npz archive.
+
+    Only floating-point tensors are downcast; integer bookkeeping entries
+    keep their dtype. Any float tensor whose values would overflow f16
+    (|x| > 65504, e.g. BN running_var outliers) stays f32 — `np.load`
+    round-trips mixed dtypes fine and `ckpt.load_state_dict` upcasts.
+    """
     from cista_flow_tpu.ckpt import torch_import
 
     sd = torch_import.load_state_dict(ckpt_path)
-    f16 = {k: np.asarray(v, dtype=np.float16) for k, v in sd.items()}
+    out = {}
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if not np.issubdtype(v.dtype, np.floating):
+            out[k] = v
+            continue
+        f16 = v.astype(np.float16)
+        if np.isfinite(f16).all() == np.isfinite(v).all():
+            out[k] = f16
+        else:  # f16 overflow — keep this entry at full precision
+            print(f"gate_export: keeping {k} f32 (f16 overflow)")
+            out[k] = v.astype(np.float32)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    np.savez_compressed(out_path, **f16)
-    return f16
+    np.savez_compressed(out_path, **out)
+    return out
 
 
 def record_targets(npz_path: str, targets_path: str, eval_dir: str,
                    model_mode: str = "cista-eiflow",
-                   dtype: str = "float32") -> None:
+                   dtype: str = "float32", workdir: str = "/tmp/gate_eval",
+                   extra_args=()) -> None:
     import eval_harness
 
     eval_harness.main([
@@ -57,8 +75,11 @@ def record_targets(npz_path: str, targets_path: str, eval_dir: str,
         "--test_data_mode", "upsampled",
         "--path_to_test_model", npz_path,
         "--dtype", dtype,
+        # keep eval frame/CSV artifacts out of the repo working tree
+        "--output_folder", os.path.join(workdir, "out"),
         "--targets", targets_path,
         "--save_targets",
+        *extra_args,
     ])
 
 
@@ -81,13 +102,19 @@ def main(argv=None):
     eval_dir = sim_quality.ensure_eval_data(args.workdir, 180, 240,
                                             eval_frames=30, seed=0)
 
-    npz_path = os.path.join(args.gate_dir, "flagship_sim40_f16.npz")
-    targets_path = os.path.join(args.gate_dir, "targets_sim_eiflow.json")
+    # anchor naming: the flagship keeps its historical name; other composites
+    # get per-variant anchors (gate/<variant>_sim40_f16.npz)
+    variant = args.model_mode.split("-", 1)[-1]
+    stem = ("flagship_sim40_f16" if args.model_mode == "cista-eiflow"
+            else f"{variant}_sim40_f16")
+    npz_path = os.path.join(args.gate_dir, f"{stem}.npz")
+    targets_path = os.path.join(args.gate_dir, f"targets_sim_{variant}.json")
     export_npz(args.ckpt, npz_path)
     print(f"wrote {npz_path} "
           f"({os.path.getsize(npz_path) / 1e6:.1f} MB)")
     record_targets(npz_path, targets_path, eval_dir,
-                   model_mode=args.model_mode, dtype=args.dtype)
+                   model_mode=args.model_mode, dtype=args.dtype,
+                   workdir=args.workdir)
     with open(targets_path) as f:
         print("targets:", json.dumps(json.load(f)))
 

@@ -10,6 +10,7 @@ plain upstream execution environment. This module must therefore import ONLY
 numpy/torch (+ the reference); the jax-side test imports its constants from
 here to stay in sync.
 """
+import os
 import sys
 import types
 
@@ -22,12 +23,19 @@ import torch.nn.functional as F
 # torch grid_sample(align_corners=True) on a 1-extent axis divides by
 # (size-1)=0 -> NaN flow (and a segfault in its CPU backward). Padded dims
 # must therefore be >=128; H=120 keeps ImagePadder's pad/unpad in play.
-H, W = 120, 128
-T = 3              # BPTT unroll (ref len_sequence=10) and GRU iters shrunk:
-BATCH = 2          # the CPU compile of each phase's BPTT graph dominates
-ITERS = 2          # the jax side's runtime (3 distinct graphs)
-FLOW_EPOCH, REC_EPOCH, EPOCHS = 2, 2, 8  # covers phases 1, 2, 3-flow, 3-rec
-LR = 1e-4
+#
+# TRAJ_* env overrides exist for the fast-tier sentinel
+# (test_train_sentinel.py), which launches this runner in a subprocess with
+# a 2-optimizer-step spec; the slow full test uses the defaults.
+H = int(os.environ.get("TRAJ_H", "120"))
+W = int(os.environ.get("TRAJ_W", "128"))
+T = int(os.environ.get("TRAJ_T", "3"))       # BPTT unroll (ref: 10), shrunk:
+BATCH = int(os.environ.get("TRAJ_BATCH", "2"))  # CPU compile of each phase's
+ITERS = int(os.environ.get("TRAJ_ITERS", "2"))  # BPTT graph dominates
+FLOW_EPOCH = int(os.environ.get("TRAJ_FLOW_EPOCH", "2"))
+REC_EPOCH = int(os.environ.get("TRAJ_REC_EPOCH", "2"))
+EPOCHS = int(os.environ.get("TRAJ_EPOCHS", "8"))  # default: phases 1, 2,
+LR = 1e-4                                         # 3-flow and 3-rec
 SEED = 7
 
 

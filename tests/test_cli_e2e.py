@@ -194,6 +194,55 @@ def test_noeval_cli(tmp_path):
     assert pngs
 
 
+def test_noeval_cli_samsung_rotation(tmp_path):
+    """The Samsung-DVS 180-degree rotation path (ref: test_noeval.py:142-143):
+    feeding the 180-rotated event stream with --dvs samsung must reproduce the
+    unrotated stream's reconstructions exactly (the rotation is applied to the
+    voxel before the model; hot-pixel filtering + nonzero normalization are
+    per-pixel permutation-invariant, so the voxels are bit-identical)."""
+    import test_noeval as noeval_cli
+
+    rng = np.random.default_rng(6)
+    n = 2400
+    t = np.sort(rng.random(n))
+    x = rng.integers(0, W, n)
+    y = rng.integers(0, H, n)
+    p = rng.integers(0, 2, n)
+
+    def write(path, x, y):
+        np.savetxt(path, np.stack([t, x, y, p], axis=1), fmt="%.6f %d %d %d")
+
+    # same basename in both dirs -> same dataset name -> same output relpaths
+    os.makedirs(str(tmp_path / "plain"))
+    os.makedirs(str(tmp_path / "rot"))
+    plain = str(tmp_path / "plain" / "stream.txt")
+    rot = str(tmp_path / "rot" / "stream.txt")
+    write(plain, x, y)
+    write(rot, W - 1 - x, H - 1 - y)  # 180-degree rotated stream
+
+    def run(path, out, dvs):
+        cfg = Config(image_dim=(H, W), model_mode="cista-idnet",
+                     path_to_test_data=path, output_folder=str(tmp_path / out),
+                     num_events=800, test_img_num=2, flow_iters=1, dvs=dvs)
+        noeval_cli.run(cfg)
+        base = str(tmp_path / out)
+        imgs = {}
+        for root, _, files in os.walk(base):
+            for f in files:
+                if f.endswith(".png"):
+                    full = os.path.join(root, f)
+                    imgs[os.path.relpath(full, base)] = cv2.imread(
+                        full, cv2.IMREAD_GRAYSCALE)
+        return imgs
+
+    a = run(plain, "out_plain", dvs=None)
+    b = run(rot, "out_rot", dvs="samsung")
+    recs = [f for f in a if f in b]
+    assert recs, "no written frames to compare"
+    for f in recs:
+        np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+
+
 def test_pretrain_flow_cli(tmp_path):
     """DCEIFlow pretraining on a synthetic FlyingChairs2 fixture; checkpoint
     loads into the upstream DCEIFlow via its own _load_net_from_checkpoint."""

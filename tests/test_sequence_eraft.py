@@ -44,8 +44,8 @@ def test_apply_sequence_eraft_matches_stepwise():
                                    rtol=1e-4, atol=1e-5, err_msg=f"rec {t}")
 
 
-def test_apply_sequence_eraft_tchunk_exact(monkeypatch):
-    """CISTA_ERAFT_TCHUNK subchunked flow stage == single mega-batch call."""
+def test_apply_sequence_eraft_tchunk_exact():
+    """cfg.eraft_tchunk subchunked flow stage == single mega-batch call."""
     cfg = Config(image_dim=(32, 48), model_mode="cista-eraft", flow_iters=1)
     params, mstate = composite.init(jax.random.PRNGKey(1), cfg)
     rng = np.random.default_rng(1)
@@ -57,10 +57,11 @@ def test_apply_sequence_eraft_tchunk_exact(monkeypatch):
     recs_full, flows_full, _ = composite.apply_sequence_eraft(
         params, mstate, voxel_seq, state0, cfg)
 
-    monkeypatch.setenv("CISTA_ERAFT_TCHUNK", "2")
-    state0 = composite.zero_state(B, cfg)
+    cfg_c = Config(image_dim=(32, 48), model_mode="cista-eraft",
+                   flow_iters=1, eraft_tchunk=2)
+    state0 = composite.zero_state(B, cfg_c)
     recs_c, flows_c, _ = composite.apply_sequence_eraft(
-        params, mstate, voxel_seq, state0, cfg)
+        params, mstate, voxel_seq, state0, cfg_c)
 
     np.testing.assert_allclose(np.asarray(flows_c), np.asarray(flows_full),
                                rtol=1e-5, atol=1e-6)
