@@ -25,30 +25,12 @@ import jax.numpy as jnp
 BASELINE_FPS = 2000.0
 
 
-def main():
-    from cista_flow_tpu import compile_cache
+def measure(model, batch, steps, dtype, iters, depth, chunk):
+    """One measured point: closed-loop fps + the fully resolved config."""
     from cista_flow_tpu.configs import Config
     from cista_flow_tpu.models import composite
-
-    compile_cache.enable()
-
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    model = os.environ.get("BENCH_MODEL", "cista-eiflow")
-    # Serving GRU iterations (reference default: eiflow 6 / eraft 12 —
-    # ref DCEIFlow/DCEIFlow.py:143, ERAFT/eraft.py:114; the reference itself
-    # treats this as a free parameter). Benchmark default for cista-eiflow is
-    # the QUALITY-GATED reduced point from the measured speed/quality
-    # frontier (PERF.md round 3): iters=4 matches the full-iteration point
-    # within 1% on EVERY metric (PSNR -0.01%, SSIM -0.01%, EPE +0.9% on the
-    # trained flagship; frontier.py reproduces the gate). Override with
-    # BENCH_ITERS, or BENCH_ITERS=6 for the reference-default configuration.
-    iters = os.environ.get("BENCH_ITERS", "")
-    iters = int(iters) if iters else (4 if model == "cista-eiflow" else None)
-
     cfg = Config(model_mode=model, image_dim=(180, 240), dtype=dtype,
-                 flow_iters=iters)
+                 flow_iters=iters, depth=depth)
     h, w = cfg.image_dim
 
     params, mstate = composite.init(jax.random.PRNGKey(0), cfg)
@@ -57,8 +39,6 @@ def main():
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             params)
-
-    chunk = int(os.environ.get("BENCH_CHUNK", "160"))
 
     hp = (h + 31) // 32 * 32
     wp = (w + 31) // 32 * 32
@@ -169,14 +149,62 @@ def main():
         "eraft_pair_tower": cfg.eraft_pair_tower,
         "eraft_tchunk": cfg.eraft_tchunk,
     }
-    print(json.dumps({
+    return fps, resolved
+
+
+def main():
+    from cista_flow_tpu import compile_cache
+
+    compile_cache.enable()
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model = os.environ.get("BENCH_MODEL", "cista-eiflow")
+    chunk = int(os.environ.get("BENCH_CHUNK", "160"))
+    # Serving GRU iterations (reference default: eiflow 6 / eraft 12 —
+    # ref DCEIFlow/DCEIFlow.py:143, ERAFT/eraft.py:114; the reference itself
+    # treats this as a free parameter). Benchmark default for cista-eiflow is
+    # the QUALITY-GATED reduced point from the measured speed/quality
+    # frontier (PERF.md; gate/ carries the standing anchor + targets and
+    # frontier.py reproduces the gate). Override with BENCH_ITERS, or
+    # BENCH_ITERS=6 for the reference-default configuration.
+    iters = os.environ.get("BENCH_ITERS", "")
+    iters = int(iters) if iters else (4 if model == "cista-eiflow" else None)
+    # Serving ISTA depth (reference default 5, ref: e2v/e2v_model.py:34-35).
+    # The ISTA blocks are weight-tied (ONE D/P/Lambda reused each iteration),
+    # so depth is a pure serving-time truncation of the fixed-point iteration
+    # — same checkpoint, fewer half-res convs; admissible points are gated by
+    # frontier.py's quality sweep like the GRU iteration count.
+    depth = int(os.environ.get("BENCH_DEPTH", "5"))
+
+    fps, resolved = measure(model, batch, steps, dtype, iters, depth, chunk)
+    out = {
         "metric": "e2e_recon_frames_per_sec_180x240_"
                   + model.replace("-", "_"),
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "config": resolved,
-    }))
+    }
+
+    # Also report the REFERENCE-DEFAULT configuration (iters=6, depth=5 for
+    # cista-eiflow) alongside the gated headline whenever the headline is a
+    # reduced point — both lines in one JSON record, per-round honesty.
+    ref_iters, ref_depth = (6 if model == "cista-eiflow" else None), 5
+    if (os.environ.get("BENCH_REF_LINE", "1") == "1"
+            and model == "cista-eiflow"
+            and (resolved["flow_iters"], resolved["depth"])
+            != (ref_iters, ref_depth)):
+        ref_fps, ref_resolved = measure(model, batch, steps, dtype,
+                                        ref_iters, ref_depth, chunk)
+        out["ref_default"] = {
+            "value": round(ref_fps, 1),
+            "vs_baseline": round(ref_fps / BASELINE_FPS, 3),
+            "flow_iters": ref_resolved["flow_iters"],
+            "depth": ref_resolved["depth"],
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

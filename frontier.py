@@ -1,19 +1,27 @@
-"""Speed/quality frontier over serving GRU iterations.
+"""Speed/quality frontier over the serving-time reduction knobs.
 
-The reference treats flow-net GRU iteration count as a parameter
-(ref: DCEIFlow/DCEIFlow.py:143 ``iters=6``; ERAFT/eraft.py:114 ``iters=12``);
-fewer serving iterations trade flow refinement for throughput. This script
-evaluates ONE trained checkpoint at several serving iteration counts through
-the real eval CLI (windowed device-resident serving, PSNR/SSIM/EPE on
-held-out sequences) and reports each point next to its measured throughput,
-plus which reduced-iteration points stay within ``--gate`` (default 1%,
-BASELINE.json's quality tolerance) of the full-iteration metrics.
+Two knobs, both pure serving-time truncations of the SAME trained
+checkpoint, gated against the reference-default point:
+
+* flow-net GRU iterations (ref: DCEIFlow/DCEIFlow.py:143 ``iters=6``;
+  ERAFT/eraft.py:114 ``iters=12``) — fewer refinement steps.
+* CISTA ISTA depth (ref: e2v/e2v_model.py:34-35 ``depth=5``) — the ISTA
+  blocks are WEIGHT-TIED (one D/P/Lambda reused every iteration), so a
+  smaller serving depth just truncates the sparse-code fixed-point
+  iteration; no retraining, no checkpoint surgery.
+
+Evaluates every (iters, depth) grid point through the real eval CLI
+(windowed device-resident serving, PSNR/SSIM/EPE on held-out sequences)
+and reports each point next to its measured throughput, plus which
+reduced points stay within ``--gate`` (default 1%, BASELINE.json's
+quality tolerance) of the reference-default metrics.
 
     python frontier.py --ckpt M.pth.tar --eval_dir EVAL \
-        [--iters 2 3 4 6] [--model_mode cista-eiflow] [--bench]
+        [--iters 2 3 4 6] [--depths 3 4 5] [--model_mode cista-eiflow] \
+        [--bench]
 
-Prints one JSON line: {"frontier": [{iters, psnr, ssim, epe, fps?,
-within_gate}, ...], "reference_iters": N}.
+Prints one JSON line: {"frontier": [{iters, depth, psnr, ssim, epe, fps?,
+within_gate}, ...], "reference_iters": N, "reference_depth": D}.
 """
 from __future__ import annotations
 
@@ -28,14 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cista_flow_tpu import configs
 
 
-def eval_at_iters(args, iters):
+def eval_point(args, iters, depth):
     from test_with_flow import evaluate_sequences
 
     cfg = configs.Config(
         model_mode=args.model_mode, image_dim=tuple(args.image_dim),
         is_gt_flow=False, path_to_test_data=args.eval_dir,
-        test_data_mode="upsampled", flow_iters=iters,
-        output_folder=os.path.join(args.workdir, f"out_iters{iters}"),
+        test_data_mode="upsampled", flow_iters=iters, depth=depth,
+        output_folder=os.path.join(args.workdir,
+                                   f"out_iters{iters}_d{depth}"),
         path_to_test_model=args.ckpt, dtype=args.dtype)
     results, keys = evaluate_sequences(cfg)
     mean = results[-1]
@@ -43,10 +52,10 @@ def eval_at_iters(args, iters):
     return {k: float(v) for k, v in zip(keys, mean[1:1 + len(keys)])}
 
 
-def bench_at_iters(args, iters):
-    """Throughput at this iteration count (bench.py in a subprocess: one
+def bench_point(args, iters, depth):
+    """Throughput at this grid point (bench.py in a subprocess: one
     clean jit cache per point)."""
-    env = dict(os.environ, BENCH_ITERS=str(iters),
+    env = dict(os.environ, BENCH_ITERS=str(iters), BENCH_DEPTH=str(depth),
                BENCH_MODEL=args.model_mode, BENCH_DTYPE=args.dtype)
     out = subprocess.run([sys.executable,
                           os.path.join(os.path.dirname(
@@ -68,6 +77,9 @@ def main(argv=None):
     ap.add_argument("--model_mode", default="cista-eiflow")
     ap.add_argument("--image_dim", nargs=2, type=int, default=(180, 240))
     ap.add_argument("--iters", nargs="+", type=int, default=[2, 3, 4, 6])
+    ap.add_argument("--depths", nargs="+", type=int, default=[5],
+                    help="serving ISTA depths to sweep (weight-tied; "
+                         "reference default 5)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--gate", type=float, default=0.01,
                     help="relative tolerance vs the full-iteration point")
@@ -75,28 +87,30 @@ def main(argv=None):
                     help="also measure fps per point (needs the chip)")
     args = ap.parse_args(argv)
 
-    ref_iters = max(args.iters)
+    ref_iters, ref_depth = max(args.iters), max(args.depths)
     points = {}
     for it in sorted(args.iters, reverse=True):
-        m = eval_at_iters(args, it)
-        points[it] = m
-        print(f"iters={it}: " + " ".join(f"{k}={v:.4f}"
-                                         for k, v in m.items()))
+        for d in sorted(args.depths, reverse=True):
+            m = eval_point(args, it, d)
+            points[(it, d)] = m
+            print(f"iters={it} depth={d}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
-    ref = points[ref_iters]
+    ref = points[(ref_iters, ref_depth)]
     gated_keys = [k for k in ("psnr", "ssim", "epe") if k in ref]
     rows = []
-    for it in sorted(points):
-        m = points[it]
+    for (it, d) in sorted(points):
+        m = points[(it, d)]
         within = all(abs(m[k] - ref[k]) / max(abs(ref[k]), 1e-12)
                      <= args.gate for k in gated_keys)
-        row = {"iters": it, "within_gate": bool(within),
+        row = {"iters": it, "depth": d, "within_gate": bool(within),
                **{k: round(m[k], 4) for k in gated_keys}}
         if args.bench:
-            row["fps"] = bench_at_iters(args, it)
+            row["fps"] = bench_point(args, it, d)
         rows.append(row)
 
     print(json.dumps({"frontier": rows, "reference_iters": ref_iters,
+                      "reference_depth": ref_depth,
                       "gate": args.gate, "model": args.model_mode}))
     return 0
 

@@ -48,6 +48,25 @@ def make_batches(ds, batch_size, shuffle, rng):
         yield out
 
 
+def make_raft_optimizer(peak_lr: float, total_steps: int,
+                        wdecay: float = 1e-4, clip: float = 1.0):
+    """The upstream RAFT/DCEIFlow PRETRAINING recipe: AdamW + OneCycle LR +
+    global-norm gradient clipping. (The composite trainer keeps the
+    reference's plain Adam — ref: train.py:92-95 — whose trajectory is
+    pinned vs torch; this optimizer exists only for the flow-supervision
+    stage, where the upstream repos clip at 1.0 and anneal with OneCycle —
+    RAFT train.py fetch_optimizer / DCEIFlow training recipe.)"""
+    import optax
+
+    sched = optax.linear_onecycle_schedule(
+        transition_steps=total_steps, peak_value=peak_lr,
+        pct_start=0.05, pct_final=1.0, div_factor=25.0,
+        final_div_factor=1e3)
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(learning_rate=sched, weight_decay=wdecay, eps=1e-8))
+
+
 def make_train_step(cfg, opt, is_bi, flow_arch="dceiflow"):
     bf16 = getattr(cfg, "dtype", "float32") == "bfloat16"
 
@@ -131,7 +150,11 @@ def main(cfgs):
         params, state = eraft.init(jax.random.PRNGKey(cfgs.seed), cfgs)
     else:
         params, state = dceiflow.init(jax.random.PRNGKey(cfgs.seed), cfgs)
-    opt = parallel.make_optimizer(cfgs.lr)
+    if getattr(cfgs, "opt", "adam") == "raft":
+        steps_per_epoch = max(1, len(ds) // cfgs.batch_size)
+        opt = make_raft_optimizer(cfgs.lr, cfgs.epochs * steps_per_epoch)
+    else:
+        opt = parallel.make_optimizer(cfgs.lr)
     opt_state = opt.init(params)
     step = make_train_step(cfgs, opt, cfgs.is_bi and arch == "dceiflow", arch)
     rng = np.random.default_rng(cfgs.seed)
@@ -171,6 +194,9 @@ if __name__ == "__main__":
     configs.add_args(parser)
     parser.add_argument("--flow_arch", default="dceiflow",
                         choices=["dceiflow", "raft", "eraft"])
+    parser.add_argument("--opt", default="adam", choices=["adam", "raft"],
+                        help="raft: AdamW + OneCycle + clip(1.0), the "
+                             "upstream RAFT/DCEIFlow pretraining recipe")
     parser.add_argument("--data_kind", default="chairs2",
                         choices=["chairs2", "sim"])
     args = parser.parse_args()
@@ -181,6 +207,7 @@ if __name__ == "__main__":
                        else "cista-eiflow")
     cfgs.flow_arch = args.flow_arch
     cfgs.data_kind = args.data_kind
+    cfgs.opt = args.opt
     if args.flow_arch == "eraft" and args.data_kind != "sim":
         parser.error("--flow_arch eraft needs --data_kind sim "
                      "(chairs2 has no event stream for the voxel pair)")

@@ -124,6 +124,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--opt", default="adam", choices=["adam", "raft"],
+                    help="raft: AdamW + OneCycle + clip(1.0) — the upstream "
+                         "RAFT/DCEIFlow pretraining recipe "
+                         "(pretrain_flow.make_raft_optimizer)")
     ap.add_argument("--flow_arch", default="dceiflow",
                     choices=["dceiflow", "eraft"],
                     help="eraft: events-only flow over consecutive voxel "
@@ -179,7 +183,11 @@ def main(argv=None):
 
     train_ds = SimFlowPairs(cfg, aug=True)
     print(f"SimFlowPairs: {len(train_ds)} training pairs")
-    opt = parallel.make_optimizer(cfg.lr)
+    if args.opt == "raft":
+        steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+        opt = pf.make_raft_optimizer(cfg.lr, args.epochs * steps_per_epoch)
+    else:
+        opt = parallel.make_optimizer(cfg.lr)
     opt_state = opt.init(params)
     step = pf.make_train_step(cfg, opt, is_bi=False,
                               flow_arch=args.flow_arch)

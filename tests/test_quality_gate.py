@@ -1,12 +1,12 @@
-"""Standing quality regression gate for the flagship serving stack.
+"""Standing quality regression gate for the serving stack, per composite.
 
-Replays the committed trained anchor (``gate/flagship_sim40_f16.npz``, the
-round-3 40-epoch 3-phase cista-eiflow run, exported f16 by gate_export.py)
-through the real eval CLI on the deterministic held-out simulated sequences
-and pins the metrics against the committed targets
-(``gate/targets_sim_eiflow.json``). Any drift anywhere in the serving stack
-— reader, voxelization, windowed device-resident serving, DCEIFlow, warps,
-CISTA-LSTC, metrics — moves PSNR/SSIM/EPE and fails this test.
+Replays the committed trained anchors (``gate/<variant>_sim40_f16.npz``,
+40-epoch 3-phase runs exported f16 by gate_export.py) through the real eval
+CLI on the deterministic held-out simulated sequences and pins the metrics
+against the committed targets (``gate/targets_sim_<variant>.json``). Any
+drift anywhere in the serving stack — reader, voxelization, windowed
+device-resident serving, flow net, warps, CISTA-LSTC, metrics — moves
+PSNR/SSIM/EPE and fails this test.
 
 The targets were recorded on CPU float32 at this exact configuration
 (gate_export.record_targets), so the comparison here is tight (0.2%), far
@@ -23,15 +23,33 @@ import pytest
 from conftest import REPO_ROOT
 
 GATE_DIR = os.path.join(REPO_ROOT, "gate")
-ANCHOR = os.path.join(GATE_DIR, "flagship_sim40_f16.npz")
-TARGETS = os.path.join(GATE_DIR, "targets_sim_eiflow.json")
 
 pytestmark = pytest.mark.slow
 
+# absolute floors: the gate stays meaningful even if targets are ever
+# regenerated — a trained anchor must reconstruct well (untrained nets emit
+# ~flat gray at ~17.4 dB PSNR on these sequences; zero-flow EPE ~2.2)
+FLOORS = {
+    "cista-eiflow": {"psnr": 22.5, "ssim": 0.75, "epe": 1.0},
+    "cista-eraft": {"psnr": 22.0, "ssim": 0.72, "epe": 1.6},
+    "cista-idnet": {"psnr": 22.0, "ssim": 0.72, "epe": 2.3},
+}
 
-@pytest.mark.skipif(not os.path.exists(ANCHOR),
-                    reason="gate anchor not committed yet")
-def test_flagship_quality_gate(tmp_path):
+
+def _anchor(mode):
+    variant = mode.split("-", 1)[-1]
+    stem = ("flagship_sim40_f16" if mode == "cista-eiflow"
+            else f"{variant}_sim40_f16")
+    return (os.path.join(GATE_DIR, f"{stem}.npz"),
+            os.path.join(GATE_DIR, f"targets_sim_{variant}.json"))
+
+
+@pytest.mark.parametrize("mode", sorted(FLOORS))
+def test_quality_gate(mode, tmp_path):
+    anchor, targets_path = _anchor(mode)
+    if not os.path.exists(anchor):
+        pytest.skip(f"gate anchor for {mode} not committed yet")
+
     import eval_harness
     import sim_quality
 
@@ -39,23 +57,21 @@ def test_flagship_quality_gate(tmp_path):
                                             eval_frames=30, seed=0)
     rc = eval_harness.main([
         "--harness_mode", "with_flow",
-        "--model_mode", "cista-eiflow",
+        "--model_mode", mode,
         "--image_dim", "180", "240",
         "--path_to_test_data", eval_dir,
         "--test_data_mode", "upsampled",
-        "--path_to_test_model", ANCHOR,
+        "--path_to_test_model", anchor,
         "--dtype", "float32",
         "--output_folder", str(tmp_path / "out"),
-        "--targets", TARGETS,
+        "--targets", targets_path,
         "--harness_tolerance", "0.002",
     ])
-    assert rc == 0, "gate metrics drifted beyond 0.2% tolerance"
+    assert rc == 0, f"{mode} gate metrics drifted beyond 0.2% tolerance"
 
-    # absolute floor: the gate stays meaningful even if targets are ever
-    # regenerated — the trained anchor must reconstruct well (untrained nets
-    # emit ~flat gray at ~17.4 dB on these sequences)
-    with open(TARGETS) as f:
+    with open(targets_path) as f:
         targets = json.load(f)
-    assert targets["psnr"] > 22.5
-    assert targets["ssim"] > 0.75
-    assert targets["epe"] < 1.0
+    floors = FLOORS[mode]
+    assert targets["psnr"] > floors["psnr"]
+    assert targets["ssim"] > floors["ssim"]
+    assert targets["epe"] < floors["epe"]

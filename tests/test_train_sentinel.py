@@ -113,9 +113,30 @@ def test_two_step_trajectory_matches_reference(tmp_path):
     # 2 steps: near-identical math, no compounding window yet
     np.testing.assert_allclose(np.asarray(losses_j), losses_t, rtol=2e-4)
 
+    # Param check. Each subtree takes exactly ONE Adam step here, and a
+    # first Adam step with a mathematically-zero gradient — conv biases
+    # feeding instance/batch norm (the norm removes any mean shift), e.g.
+    # flow.fnet.*.b — is lr·g/(|g|+eps) with |g| pure round-off ~ eps:
+    # torch-vs-jax diffs on those leaves are legitimately anywhere in
+    # (0, 2·lr). Conv WEIGHTS always carry real gradients, and every
+    # regression this sentinel hunts (wrong freeze, wrong per-subtree
+    # step count, wrong moments/LR, BN-mode flip) moves weights and
+    # biases of the affected subtree alike — so gate the per-leaf
+    # diverged-element fraction on multi-dim leaves only (noise ~0% ≪
+    # regression ~100%), with a loose global max over everything
+    # (zero-grad bias noise is bounded by 2·lr = 2e-4 < 5e-4).
     sd_j, _ = ti.composite_params(ti.from_torch(final_sd), "cista-eiflow")
     flat_t = dict(jax.tree_util.tree_leaves_with_path(sd_j))
-    diffs = [float(np.max(np.abs(np.asarray(leaf)
-                                 - np.asarray(flat_t[path]))))
-             for path, leaf in jax.tree_util.tree_leaves_with_path(params_j)]
-    assert max(diffs) < 1e-4, f"params diverged: {max(diffs):.3e}"
+    worst, worst_frac, worst_leaf = 0.0, 0.0, None
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params_j):
+        d = np.abs(np.asarray(leaf) - np.asarray(flat_t[path]))
+        worst = max(worst, float(d.max()))
+        if d.ndim < 2:    # biases/norm affines: zero-grad Adam noise
+            continue      # (weights of the same layers cover them)
+        frac = float(np.mean(d > 1.5e-4))
+        if frac > worst_frac:
+            worst_frac, worst_leaf = frac, jax.tree_util.keystr(path)
+    assert worst < 5e-4, f"params diverged: {worst:.3e}"
+    assert worst_frac < 0.10, \
+        (f"{worst_frac:.1%} of {worst_leaf} diverged >1.5e-4 "
+         f"(leaf-scale drift — wrong freeze/step-count/moments)")
