@@ -57,6 +57,10 @@ def bench_point(args, iters, depth):
     clean jit cache per point)."""
     env = dict(os.environ, BENCH_ITERS=str(iters), BENCH_DEPTH=str(depth),
                BENCH_MODEL=args.model_mode, BENCH_DTYPE=args.dtype)
+    env.pop("JAX_PLATFORMS", None)  # --cpu applies to quality evals only;
+    #                                 fps is always measured on the chip
+    if env.get("BENCH_DTYPE") == "float32":
+        env["BENCH_DTYPE"] = "bfloat16"  # chip serving dtype
     out = subprocess.run([sys.executable,
                           os.path.join(os.path.dirname(
                               os.path.abspath(__file__)), "bench.py")],
@@ -85,7 +89,19 @@ def main(argv=None):
                     help="relative tolerance vs the full-iteration point")
     ap.add_argument("--bench", action="store_true",
                     help="also measure fps per point (needs the chip)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the QUALITY evals on the JAX CPU backend "
+                         "(leaves the TPU free; use with --dtype float32 — "
+                         "the bf16 serving fast paths are TPU-gated). "
+                         "--bench subprocesses still measure on the chip.")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        # the axon sitecustomize forces JAX_PLATFORMS at interpreter start;
+        # env alone is not enough (same dance as tests/conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     ref_iters, ref_depth = max(args.iters), max(args.depths)
     points = {}

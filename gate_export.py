@@ -94,7 +94,18 @@ def main(argv=None):
     ap.add_argument("--model_mode", default="cista-eiflow")
     ap.add_argument("--dtype", default="float32",
                     help="targets eval dtype (float32 = CPU-reproducible)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX CPU backend (targets recorded on "
+                         "CPU f32 — exactly what tests/test_quality_gate.py "
+                         "replays; also leaves the TPU free)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        # the axon sitecustomize forces JAX_PLATFORMS at interpreter start;
+        # env alone is not enough (same dance as tests/conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import sim_quality
 
