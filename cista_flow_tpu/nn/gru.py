@@ -39,9 +39,19 @@ def conv_gru_init(key, hidden_dim, input_dim):
 
 
 def conv_gru(p, h, x):
+    """3x3 ConvGRU (ref: ERAFT/update.py ConvGRU).
+
+    The z and r convs consume the same cat(h, x), so they run as ONE conv
+    with concatenated output channels — exactly the sep_conv_gru trick;
+    weights stay separate in the param tree for checkpoint parity. At the
+    RAFT/ERAFT 12-iteration updater this halves the gate-conv pass count
+    on the pass-bound 1/8-res region."""
     hx = jnp.concatenate([h, x], axis=-1)
-    z = jax.nn.sigmoid(C.apply_conv(p["convz"], hx, padding=1))
-    r = jax.nn.sigmoid(C.apply_conv(p["convr"], hx, padding=1))
+    w = jnp.concatenate([p["convz"]["w"], p["convr"]["w"]], axis=-1)
+    b = jnp.concatenate([p["convz"]["b"], p["convr"]["b"]], axis=-1)
+    zr = jax.nn.sigmoid(C.conv2d(hx, w, b, padding=(1, 1)))
+    nh = h.shape[-1]
+    z, r = zr[..., :nh], zr[..., nh:]
     q = jnp.tanh(C.apply_conv(p["convq"], jnp.concatenate([r * h, x], axis=-1), padding=1))
     return (1 - z) * h + z * q
 
