@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..nn import encoders as E
 from ..nn import gru as G
+from ..ops import conv as _C
 from ..ops.pad import ImagePadder
 from ..ops.upsample import convex_upsample
 from ..ops.warp import grid_sample
@@ -117,15 +118,23 @@ def apply(params, event_bins, cfg, flow_init=None, deblur_iters: int = 1,
         for t_idx in range(V):
             net = G.conv_gru(params["update"]["gru"], net, feats[t_idx])
 
-        dflow = G.flow_head(params["update"]["flow_head"], net)
-        up_mask = G.mask_head(params["update"]["mask"], net)
+        # all active heads read the same net: run their conv1 stages as ONE
+        # conv (2 or 4 pass-bound 1/8-res launches -> 1; exact)
+        up = params["update"]
+        heads = [up["flow_head"], up["mask"]]
+        if pred_next_flow:
+            heads += [up["flow_head2"], up["mask2"]]
+        acts = G.fused_head_stage1(heads, net)
+        dflow = _C.apply_conv(up["flow_head"]["conv2"], acts[0], padding=1)
+        up_mask = _C.apply_conv(up["mask"]["conv2"], acts[1])
         delta_flow = convex_upsample(dflow, up_mask, factor=DOWNSAMPLE,
                                      flow_scale=8)
         if collect_preds:
             delta_flow_hist.append(delta_flow)
         if pred_next_flow:
-            nflow = G.flow_head(params["update"]["flow_head2"], net)
-            up_mask2 = G.mask_head(params["update"]["mask2"], net)
+            nflow = _C.apply_conv(up["flow_head2"]["conv2"], acts[2],
+                                  padding=1)
+            up_mask2 = _C.apply_conv(up["mask2"]["conv2"], acts[3])
             next_flow = convex_upsample(nflow, up_mask2, factor=DOWNSAMPLE,
                                         flow_scale=8)
         if deblur or add_delta:

@@ -172,6 +172,24 @@ def mask_head(p, x):
     return C.apply_conv(p["conv2"], jax.nn.relu(C.apply_conv(p["conv1"], x, padding=1)))
 
 
+def fused_head_stage1(heads, x):
+    """relu(conv1(x)) for several heads reading the SAME input, as ONE conv.
+
+    flow_head and mask_head conv1s are all 3x3 pad-1 over the updater's
+    ``net``; concatenating output channels turns N pass-bound 1/8-res
+    launches into one (weights stay separate in the param tree for
+    checkpoint parity). Returns the per-head activations."""
+    w = jnp.concatenate([h["conv1"]["w"] for h in heads], axis=-1)
+    b = jnp.concatenate([h["conv1"]["b"] for h in heads], axis=-1)
+    y = jax.nn.relu(C.conv2d(x, w, b, padding=(1, 1)))
+    outs, o = [], 0
+    for h in heads:
+        n = h["conv1"]["w"].shape[-1]
+        outs.append(y[..., o:o + n])
+        o += n
+    return outs
+
+
 def basic_update_block_event_init(key, cor_planes, hidden_dim=128):
     """DCEIFlow's BasicUpdateBlockNoMask (ref: with_event_updater.py:156-171)."""
     ks = jax.random.split(key, 3)
