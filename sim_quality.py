@@ -59,7 +59,7 @@ def ensure_data(workdir, h, w, n_videos, n_frames, eval_frames, seed):
 
 
 def run_eval(workdir, eval_dir, h, w, dtype, ckpt=None, tag="init",
-             model_mode="cista-gtflow"):
+             model_mode="cista-gtflow", depth=5):
     from test_with_flow import evaluate_sequences
 
     cfg = configs.Config(
@@ -67,7 +67,7 @@ def run_eval(workdir, eval_dir, h, w, dtype, ckpt=None, tag="init",
         is_gt_flow=(model_mode == "cista-gtflow"),
         path_to_test_data=eval_dir, test_data_mode="upsampled",
         output_folder=os.path.join(workdir, f"out_{tag}"),
-        path_to_test_model=ckpt or "", dtype=dtype,
+        path_to_test_model=ckpt or "", dtype=dtype, depth=depth,
         is_write_image=True)
     results, keys = evaluate_sequences(cfg)
     mean = results[-1]
@@ -101,6 +101,11 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--len_sequence", type=int, default=10)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--depth", type=int, default=5,
+                    help="CISTA ISTA depth to TRAIN at (reference default "
+                         "5, ref: e2v/e2v_model.py:34-35). depth<5 trains "
+                         "a serving-efficient flagship whose quality is "
+                         "then compared against the depth-5 run's")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -128,8 +133,8 @@ def main(argv=None):
         path_to_model=os.path.join(args.workdir, "models"),
         epochs=args.epochs, flow_epoch=args.flow_epoch, rec_epoch=rec_epoch,
         batch_size=args.batch_size, len_sequence=args.len_sequence,
-        lr=args.lr, dtype=args.dtype, remat=args.remat, shuffle=True,
-        seed=args.seed, path_to_flownet=args.path_to_flownet,
+        lr=args.lr, depth=args.depth, dtype=args.dtype, remat=args.remat,
+        shuffle=True, seed=args.seed, path_to_flownet=args.path_to_flownet,
         load_epoch_for_train=args.load_epoch_for_train)
 
     from cista_flow_tpu.runner import model_name_from_cfg
@@ -139,7 +144,7 @@ def main(argv=None):
 
     metrics_init = run_eval(args.workdir, eval_dir, h, w, args.dtype,
                             ckpt=None, tag="init",
-                            model_mode=args.model_mode)
+                            model_mode=args.model_mode, depth=args.depth)
 
     if not args.skip_train and not os.path.exists(ckpt):
         import train as train_cli
@@ -148,7 +153,8 @@ def main(argv=None):
 
     metrics_trained = run_eval(args.workdir, eval_dir, h, w, args.dtype,
                                ckpt=ckpt, tag="trained",
-                               model_mode=args.model_mode)
+                               model_mode=args.model_mode,
+                               depth=args.depth)
 
     out = {
         "psnr_init": round(metrics_init["psnr"], 3),
