@@ -58,8 +58,12 @@ def make_raft_optimizer(peak_lr: float, total_steps: int,
     RAFT train.py fetch_optimizer / DCEIFlow training recipe.)"""
     import optax
 
+    # tiny smoke runs make the piecewise schedule degenerate: with
+    # transition_steps small enough that a segment's knots collide
+    # (e.g. 10 at pct_start=0.05), optax emits NaN LR from step 0 —
+    # clamp the horizon well clear of that regime
     sched = optax.linear_onecycle_schedule(
-        transition_steps=total_steps, peak_value=peak_lr,
+        transition_steps=max(total_steps, 100), peak_value=peak_lr,
         pct_start=0.05, pct_final=1.0, div_factor=25.0,
         final_div_factor=1e3)
     return optax.chain(

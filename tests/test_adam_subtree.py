@@ -90,3 +90,23 @@ def test_lr_injection_reaches_update():
                             state, params)
     np.testing.assert_allclose(np.asarray(updates["cista"]["w"]),
                                -5e-4 * np.ones(3), rtol=1e-6)
+
+
+def test_raft_optimizer_finite_at_tiny_horizons():
+    """make_raft_optimizer must yield finite updates even for smoke-sized
+    runs: optax.linear_onecycle_schedule emits NaN LR from step 0 when
+    transition_steps is small enough that segment knots collide (seen at
+    total_steps=2 and 10 with pct_start=0.05); the horizon clamp guards it."""
+    import optax
+
+    import pretrain_flow as pf
+
+    for total in (1, 2, 10, 100, 1000):
+        opt = pf.make_raft_optimizer(2e-4, total)
+        params = {"w": jnp.ones(3)}
+        state = opt.init(params)
+        for _ in range(3):
+            upd, state = opt.update({"w": jnp.array([0.1, -0.2, 0.3])},
+                                    state, params)
+            params = optax.apply_updates(params, upd)
+        assert np.isfinite(np.asarray(params["w"])).all(), total
