@@ -36,6 +36,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cista_flow_tpu import configs
 
 
+# direction of improvement per gated metric (psnr/ssim higher-better,
+# epe lower-better)
+_BETTER = {"psnr": 1.0, "ssim": 1.0, "epe": -1.0}
+
+
+def within_gate(m, ref, keys, gate):
+    """One-sided admission: only DEGRADATION relative to the reference
+    point counts against a reduced point — beating the reference on a
+    metric is never penalized. ``gate`` is the relative tolerance."""
+    return all((m[k] - ref[k]) * _BETTER[k]
+               >= -gate * max(abs(ref[k]), 1e-12) for k in keys)
+
+
 def eval_point(args, iters, depth):
     from test_with_flow import evaluate_sequences
 
@@ -117,8 +130,7 @@ def main(argv=None):
     rows = []
     for (it, d) in sorted(points):
         m = points[(it, d)]
-        within = all(abs(m[k] - ref[k]) / max(abs(ref[k]), 1e-12)
-                     <= args.gate for k in gated_keys)
+        within = within_gate(m, ref, gated_keys, args.gate)
         row = {"iters": it, "depth": d, "within_gate": bool(within),
                **{k: round(m[k], 4) for k in gated_keys}}
         if args.bench:

@@ -202,3 +202,25 @@ def test_combine_loss_and_metric():
     np.testing.assert_allclose(summary["epe"], 2.0)
     assert "epe" in text
     assert cm.get_all() == {}
+
+
+def test_frontier_gate_is_one_sided():
+    """frontier.within_gate admits points that BEAT the reference on a
+    metric (improvement is never degradation) and rejects >gate slips in
+    the harmful direction for each metric's own polarity."""
+    from frontier import within_gate
+
+    keys = ["psnr", "ssim", "epe"]
+    ref = {"psnr": 23.45, "ssim": 0.792, "epe": 0.510}
+    # 2% BETTER everywhere: higher psnr/ssim, lower epe -> admitted
+    best = {"psnr": 23.92, "ssim": 0.808, "epe": 0.500}
+    assert within_gate(best, ref, keys, 0.01)
+    # 0.5% worse everywhere: within the 1% gate
+    near = {"psnr": 23.33, "ssim": 0.788, "epe": 0.512}
+    assert within_gate(near, ref, keys, 0.01)
+    # epe 4% worse: rejected even with psnr/ssim flat
+    slip = {"psnr": 23.45, "ssim": 0.792, "epe": 0.531}
+    assert not within_gate(slip, ref, keys, 0.01)
+    # psnr 2% lower: rejected
+    dull = {"psnr": 22.98, "ssim": 0.792, "epe": 0.510}
+    assert not within_gate(dull, ref, keys, 0.01)
