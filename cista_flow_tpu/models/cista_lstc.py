@@ -21,6 +21,7 @@ from ..nn import layers as L
 from ..ops import conv as C
 from ..ops import pallas_ista2 as PI
 from ..ops import s2d as S2D
+from ..ops.fastpath import tpu_bf16
 
 
 class CistaState(NamedTuple):
@@ -88,9 +89,8 @@ def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
     # (~2-5% MFU); block-recomposed convs with phases on lanes run the
     # same math 3-4x faster and W0's output exits the s2d domain exactly
     # at the model's own downsample — no unpack (ops/s2d.py, PERF.md).
-    if (S2D.ENABLED and head_in.dtype == jnp.bfloat16
-            and head_in.shape[1] % 2 == 0 and head_in.shape[2] % 2 == 0
-            and jax.default_backend() == "tpu"):
+    if (S2D.ENABLED and tpu_bf16(head_in)
+            and head_in.shape[1] % 2 == 0 and head_in.shape[2] % 2 == 0):
         if events_s2d is not None:
             # channels arrive as [s2d(events) | s2d(prev_image)] — permute
             # the recomposed kernel instead of re-packing the voxels
@@ -128,9 +128,8 @@ def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
     hidden, cell = L.conv_lstm(params["Dg"]["lstm"], rec, (state.dg_hidden, state.dg_cell))
 
     _, h, w, _ = events.shape
-    if (S2D.DECODER and hidden.dtype == jnp.bfloat16
-            and h == 2 * hidden.shape[1] and w == 2 * hidden.shape[2]
-            and jax.default_backend() == "tpu"):
+    if (S2D.DECODER and tpu_bf16(hidden)
+            and h == 2 * hidden.shape[1] and w == 2 * hidden.shape[2]):
         # decoder in s2d form: phase-plane x2 resize (no full-res
         # interleave) -> VALID 2x2 block conv -> final 3x3 block conv ->
         # sigmoid -> one cheap depth_to_space on the 1-channel output

@@ -22,6 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..ops.fastpath import tpu_bf16
 from ..ops.resize import interpolate_scale
 from ..ops.warp import frame_warp
 from . import cista_lstc, dceiflow, eraft, idnet
@@ -231,9 +232,7 @@ def apply_sequence_eraft(params, model_state, voxel_seq, state, cfg,
     all_pad = padder.pad(
         voxel_seq.reshape(t_plus1 * b, *voxel_seq.shape[2:]))
     new_pad = padder.pad(new)
-    if (getattr(cfg, "eraft_pair_tower", False)
-            and voxel_seq.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"):
+    if getattr(cfg, "eraft_pair_tower", False) and tpu_bf16(voxel_seq):
         fmap_first, _ = E.basic_encoder(
             fp, model_state["flow"]["fnet"], padder.pad(voxel_seq[0]),
             "instance", train=False)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..nn import encoders as E
 from ..nn import gru as G
+from ..ops.fastpath import tpu_bf16
 from ..ops import corr as CORR
 from ..ops.pad import ImagePadder
 from ..ops.resize import upflow
@@ -159,9 +160,7 @@ def apply(params, state, event_voxel, image1, cfg, image2=None,
 
     cnet_pre = None
     merge = getattr(cfg, "encoder_merge", "pair")
-    if (merge and not train and image2 is None
-            and im1.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"):
+    if merge and not train and image2 is None and tpu_bf16(im1):
         # serving: encoders merged into one block-diagonal tower (exact;
         # nn/encoders.py basic_encoder_multi, PERF.md "Encoder trio").
         # "pair" merges fnet+enet only — the 3-tower dense merge measured

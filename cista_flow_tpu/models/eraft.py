@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..nn import encoders as E
 from ..nn import gru as G
+from ..ops.fastpath import tpu_bf16
 from ..ops import corr as CORR
 from ..ops.pad import ImagePadder
 from ..ops.upsample import convex_upsample
@@ -56,8 +57,7 @@ def apply(params, state, voxel_old, voxel_new, cfg, iters: int = 12,
         fmap1, fmap2, cnet = encoded
         fstate, cstate = state["fnet"], state["cnet"]
     elif (getattr(cfg, "encoder_merge", "pair") and not train
-            and im1.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"):
+            and tpu_bf16(im1)):
         # serving: fnet(new)+cnet(new) share their input — run as one
         # block-diagonal pair tower (nn/encoders.py); fnet(old) stays its
         # own call (PERF.md "Encoder merge")
