@@ -118,13 +118,17 @@ def apply(params: dict, events: jnp.ndarray, prev_image: jnp.ndarray,
     # XLA loop under differentiation. f32 stays on XLA (MXU rounding).
     if (PI.ENABLED and x1.dtype == jnp.bfloat16
             and PI.supported(x1.shape, z.shape)):
-        z = PI.fused_ista_v2(params["ista"], x1, z, depth)
+        # v3 kernel: the Dg conv + relu ride the same launch (the v2
+        # post-mortem's boundary tax itemized Dg's standalone reflect pad
+        # and lost epilogue fusion; v3 absorbs both)
+        z, rec = PI.fused_ista_dg(params["ista"], params["Dg"]["conv"],
+                                  x1, z, depth)
     else:
         for _ in range(depth):
             z = L.ista_iteration(params["ista"], x1, z)
+        rec = L.conv_layer(params["Dg"]["conv"], z, padding=1,
+                           activation="relu")
     sparse_code = z
-
-    rec = L.conv_layer(params["Dg"]["conv"], z, padding=1, activation="relu")
     hidden, cell = L.conv_lstm(params["Dg"]["lstm"], rec, (state.dg_hidden, state.dg_cell))
 
     _, h, w, _ = events.shape

@@ -76,6 +76,7 @@ def _pick_bh(h: int, w: int, c: int) -> int | None:
         + h * _round_up(w, 16) * _round_up(c, 128) * 2    # x1_v (lane-padded)
         + _round_up(9 * 2 * c, 128) * lanesc * 2          # D weights
         + _round_up(9 * c, 128) * lanes2c * 2             # P weights
+        + _round_up(9 * 2 * c, 128) * lanesc * 2          # Dg weights (v3)
     )
     best = None
     for bh in range(1, h + 1):
@@ -130,10 +131,7 @@ def _patches(pad, r0, bh, w):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _kernel(x1_hbm, z_hbm, dw_ref, db_ref, pw_ref, pb_ref, lam_ref, out_hbm,
-            x1_v, zpad, xpad, sem, *, depth, h, w, c, bh):
-    # x1 arrives lane-padded to 128 channels (Mosaic rejects DMA slices whose
-    # channel dim is not 128-aligned); only [..., :c] is real.
+def _load_inputs(x1_hbm, z_hbm, x1_v, zpad, sem, h, w):
     b = pl.program_id(0)
     cp = pltpu.make_async_copy(x1_hbm.at[b], x1_v, sem)
     cp.start()
@@ -143,6 +141,10 @@ def _kernel(x1_hbm, z_hbm, dw_ref, db_ref, pw_ref, pb_ref, lam_ref, out_hbm,
     cp.start()
     cp.wait()
 
+
+def _ista_loop(x1_v, zpad, xpad, dw_ref, db_ref, pw_ref, pb_ref, lam_ref,
+               depth, h, w, c, bh):
+    """Run ``depth`` tied ISTA iterations in-place on zpad's interior."""
     dtype = zpad.dtype
     db = db_ref[0].astype(jnp.float32)
     pb = pb_ref[0].astype(jnp.float32)
@@ -190,8 +192,59 @@ def _kernel(x1_hbm, z_hbm, dw_ref, db_ref, pw_ref, pb_ref, lam_ref, out_hbm,
 
     jax.lax.fori_loop(0, depth, _iteration, 0)
 
+
+def _kernel(x1_hbm, z_hbm, dw_ref, db_ref, pw_ref, pb_ref, lam_ref, out_hbm,
+            x1_v, zpad, xpad, sem, *, depth, h, w, c, bh):
+    # x1 arrives lane-padded to 128 channels (Mosaic rejects DMA slices whose
+    # channel dim is not 128-aligned); only [..., :c] is real.
+    b = pl.program_id(0)
+    _load_inputs(x1_hbm, z_hbm, x1_v, zpad, sem, h, w)
+    _ista_loop(x1_v, zpad, xpad, dw_ref, db_ref, pw_ref, pb_ref, lam_ref,
+               depth, h, w, c, bh)
     cp = pltpu.make_async_copy(
         zpad.at[1:h + 1, XOFF:XOFF + w, :], out_hbm.at[b], sem)
+    cp.start()
+    cp.wait()
+
+
+def _kernel_dg(x1_hbm, z_hbm, dw_ref, db_ref, pw_ref, pb_ref, lam_ref,
+               gw_ref, gb_ref, out_hbm, rec_hbm,
+               x1_v, zpad, xpad, sem, *, depth, h, w, c, bh):
+    """v3: ISTA loop + the Dg conv (relu(conv3x3(z))) fused as a tail pass.
+
+    Dg's input is exactly the kernel's resident z (reflect borders already
+    refreshable in-VMEM), and its output (h, w, c) reuses xpad's interior as
+    scratch — absorbing the boundary ops the v2 post-mortem itemized (the
+    standalone reflect-pad of Dg's input and Dg's lost epilogue fusion)."""
+    b = pl.program_id(0)
+    _load_inputs(x1_hbm, z_hbm, x1_v, zpad, sem, h, w)
+    _ista_loop(x1_v, zpad, xpad, dw_ref, db_ref, pw_ref, pb_ref, lam_ref,
+               depth, h, w, c, bh)
+
+    cp = pltpu.make_async_copy(
+        zpad.at[1:h + 1, XOFF:XOFF + w, :], out_hbm.at[b], sem)
+    cp.start()
+    cp.wait()
+
+    dtype = zpad.dtype
+    gb = gb_ref[0].astype(jnp.float32)
+    _fill_borders(zpad, h, w)
+
+    def _g_chunk(ci, _):
+        # Dg pass: xpad interior <- relu(Dg * z + gb)
+        r0 = ci * bh
+        pat = _patches(zpad, r0, bh, w)                       # (bh*w, 18c)
+        acc = jax.lax.dot_general(
+            pat, gw_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + gb
+        xpad[pl.dslice(1 + r0, bh), XOFF:XOFF + w, :] = (
+            jnp.maximum(acc, 0.0).reshape(bh, w, c).astype(dtype))
+        return 0
+
+    jax.lax.fori_loop(0, h // bh, _g_chunk, 0)
+    cp = pltpu.make_async_copy(
+        xpad.at[1:h + 1, XOFF:XOFF + w, :], rec_hbm.at[b], sem)
     cp.start()
     cp.wait()
 
@@ -229,6 +282,43 @@ def _fused_pallas(x1, z, dw, db, pw, pb, lam, depth: int, interpret: bool):
         ],
         interpret=interpret,
     )(x1, z, dw, db, pw, pb, lam)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "interpret"))
+def _fused_pallas_dg(x1, z, dw, db, pw, pb, lam, gw, gb, depth: int,
+                     interpret: bool):
+    """v3 = v2 + Dg tail. gw: (9*2C, C) im2col-major; gb (1, C).
+    Returns (z_final, rec) with rec = relu(conv3x3_reflect(z_final, Dg))."""
+    B, H, W, C = x1.shape
+    bh = _pick_bh(H, W, C)
+    cp128 = _round_up(C, 128)
+    x1 = jnp.pad(x1, ((0, 0), (0, 0), (0, 0), (0, cp128 - C)))
+    kern = functools.partial(_kernel_dg, depth=depth, h=H, w=W, c=C, bh=bh)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vmem = lambda shape: pl.BlockSpec(
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            any_spec,
+            any_spec,
+            vmem(dw.shape), vmem(db.shape),
+            vmem(pw.shape), vmem(pb.shape), vmem(lam.shape),
+            vmem(gw.shape), vmem(gb.shape),
+        ],
+        out_specs=(any_spec, any_spec),
+        out_shape=(jax.ShapeDtypeStruct(z.shape, z.dtype),
+                   jax.ShapeDtypeStruct((B, H, W, C), x1.dtype)),
+        input_output_aliases={1: 0},   # z is consumed: out reuses its buffer
+        scratch_shapes=[
+            pltpu.VMEM((H, W, cp128), x1.dtype),
+            pltpu.VMEM((H + 2, W + XOFF + 1, 2 * C), z.dtype),
+            pltpu.VMEM((H + 2, W + XOFF + 1, C), x1.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x1, z, dw, db, pw, pb, lam, gw, gb)
 
 
 def _prep_weights(params, dtype):
@@ -277,3 +367,48 @@ def fused_ista_v2(params, x1, z, depth: int = 5):
     if not supported(x1.shape, z.shape):
         return _xla_loop(params, x1, z, depth)
     return _fused_vjp(params, x1, z, depth)
+
+
+# ----------------------------- v3: ISTA + Dg ---------------------------------
+
+def _xla_loop_dg(params, dg, x1, z, depth):
+    z = _xla_loop(params, x1, z, depth)
+    return z, L.conv_layer(dg, z, padding=1, activation="relu")
+
+
+def _run_dg(params, dg, x1, z, depth):
+    dw, db, pw, pb, lam = _prep_weights(params, x1.dtype)
+    gw = dg["w"].astype(x1.dtype).reshape(-1, dg["w"].shape[3])
+    gb = dg["b"].reshape(1, -1)
+    interpret = jax.default_backend() != "tpu"
+    return _fused_pallas_dg(x1, z, dw, db, pw, pb, lam, gw, gb, depth,
+                            interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_dg_vjp(params, dg, x1, z, depth):
+    return _run_dg(params, dg, x1, z, depth)
+
+
+def _fwd_dg(params, dg, x1, z, depth):
+    # XLA forward under autodiff (same policy as v2)
+    return _xla_loop_dg(params, dg, x1, z, depth), (params, dg, x1, z)
+
+
+def _bwd_dg(depth, res, g):
+    params, dg, x1, z = res
+    _, vjp = jax.vjp(
+        lambda p, d, a, b: _xla_loop_dg(p, d, a, b, depth), params, dg, x1, z)
+    return vjp(g)
+
+
+_fused_dg_vjp.defvjp(_fwd_dg, _bwd_dg)
+
+
+def fused_ista_dg(params, dg, x1, z, depth: int = 5):
+    """ISTA loop + Dg conv (relu) in one kernel launch: returns
+    (sparse_code, rec). Falls back to the XLA chain when unsupported —
+    identical math either way (tests/test_pallas_ista.py)."""
+    if not supported(x1.shape, z.shape):
+        return _xla_loop_dg(params, dg, x1, z, depth)
+    return _fused_dg_vjp(params, dg, x1, z, depth)

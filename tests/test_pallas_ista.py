@@ -104,3 +104,69 @@ class TestFusedIstaV2:
                         jax.tree_util.tree_leaves(gr)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestFusedIstaDg:
+    """v3 (= v2 + the Dg conv/relu as an in-kernel tail pass)."""
+
+    def test_matches_chain_bf16(self):
+        from cista_flow_tpu.ops import pallas_ista2 as PI
+        rng = np.random.default_rng(5)
+        B, H, W, C = 2, 16, 24, 32
+        params = L.ista_block_init(jax.random.PRNGKey(5), base_channels=C)
+        dg = L.conv_layer_init(jax.random.PRNGKey(6), 2 * C, C)
+        params, dg = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), (params, dg))
+        params["Lambda"] = params["Lambda"].astype(jnp.float32)
+        x1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+        z = jnp.asarray(rng.standard_normal((B, H, W, 2 * C)), jnp.bfloat16)
+        assert PI.supported(x1.shape, z.shape)
+
+        zr, recr = PI._xla_loop_dg(params, dg, x1, z, 3)
+        zk, reck = PI._run_dg(params, dg, x1, z, 3)
+        np.testing.assert_allclose(np.asarray(zk, np.float32),
+                                   np.asarray(zr, np.float32),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(reck, np.float32),
+                                   np.asarray(recr, np.float32),
+                                   rtol=0.05, atol=0.05)
+
+    def test_grad_matches_xla_chain(self):
+        from cista_flow_tpu.ops import pallas_ista2 as PI
+        rng = np.random.default_rng(6)
+        B, H, W, C = 1, 8, 16, 32
+        params = L.ista_block_init(jax.random.PRNGKey(7), base_channels=C)
+        dg = L.conv_layer_init(jax.random.PRNGKey(8), 2 * C, C)
+        x1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        z = jnp.asarray(rng.standard_normal((B, H, W, 2 * C)), jnp.float32)
+
+        def f_kernel(p, d, a, b):
+            zo, ro = PI._fused_dg_vjp(p, d, a, b, 2)
+            return jnp.sum(zo ** 2) + jnp.sum(ro ** 2)
+
+        def f_ref(p, d, a, b):
+            zo, ro = PI._xla_loop_dg(p, d, a, b, 2)
+            return jnp.sum(zo ** 2) + jnp.sum(ro ** 2)
+
+        gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(params, dg, x1, z)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(params, dg, x1, z)
+        for a, b in zip(jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_fallback_when_unsupported(self):
+        from cista_flow_tpu.ops import pallas_ista2 as PI
+        rng = np.random.default_rng(7)
+        B, H, W, C = 1, 16, 20, 16  # C<32 and W%8!=0 -> unsupported
+        params = L.ista_block_init(jax.random.PRNGKey(9), base_channels=C)
+        dg = L.conv_layer_init(jax.random.PRNGKey(10), 2 * C, C)
+        x1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        z = jnp.asarray(rng.standard_normal((B, H, W, 2 * C)), jnp.float32)
+        assert not PI.supported(x1.shape, z.shape)
+        zo, ro = PI.fused_ista_dg(params, dg, x1, z, depth=2)
+        zr, rr = PI._xla_loop_dg(params, dg, x1, z, 2)
+        np.testing.assert_allclose(np.asarray(zo), np.asarray(zr),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ro), np.asarray(rr),
+                                   rtol=1e-5, atol=1e-5)
