@@ -83,9 +83,6 @@ def bench_point(args, iters, depth):
 
 
 def main(argv=None):
-    from cista_flow_tpu import compile_cache
-
-    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--eval_dir", required=True,
@@ -115,6 +112,12 @@ def main(argv=None):
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    # AFTER the --cpu switch: enable() initializes the backend
+    # (jax.default_backend()), which would lock the platform to the TPU
+    # tunnel before the cpu config.update took effect
+    from cista_flow_tpu import compile_cache
+    compile_cache.enable()
 
     ref_iters, ref_depth = max(args.iters), max(args.depths)
     points = {}
