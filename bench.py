@@ -129,14 +129,23 @@ def measure(model, batch, steps, dtype, iters, depth, chunk):
                                flow_chain)
     force(rec_w)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        rec, state, flow_chain, recs = run_chunk(
-            params, mstate, events_seq, rec, state, flow_chain)
-    force(rec)
-    dt = time.perf_counter() - t0
+    # Repeat the timed loop: host-side contention (another training run, a
+    # noisy driver VM) can skew any single sample by 10-25% (PERF.md round-5:
+    # the BENCH_r04 701.8-vs-755.5 episode). The median over reps is the
+    # reported number; the spread tells the reader whether to trust it.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    fps_samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            rec, state, flow_chain, recs = run_chunk(
+                params, mstate, events_seq, rec, state, flow_chain)
+        force(rec)
+        dt = time.perf_counter() - t0
+        fps_samples.append(steps * chunk * batch / dt)
 
-    fps = steps * chunk * batch / dt
+    fps_samples.sort()
+    fps = fps_samples[len(fps_samples) // 2]
     # the exact measured configuration, so the number is reproducible from
     # the record alone (no ambient env needed)
     resolved = {
@@ -149,6 +158,14 @@ def measure(model, batch, steps, dtype, iters, depth, chunk):
         "eraft_pair_tower": cfg.eraft_pair_tower,
         "eraft_tchunk": cfg.eraft_tchunk,
     }
+    spread = ((fps_samples[-1] - fps_samples[0]) / fps
+              if fps > 0 else 0.0)
+    resolved["reps"] = [round(s, 1) for s in fps_samples]
+    resolved["spread"] = round(spread, 4)
+    if spread > 0.05:
+        print(f"bench.py: WARNING rep spread {spread * 100:.1f}% > 5% — "
+              f"likely host contention; samples {resolved['reps']}",
+              file=sys.stderr)
     return fps, resolved
 
 
@@ -182,9 +199,11 @@ def main():
     out = {
         "metric": "e2e_recon_frames_per_sec_180x240_"
                   + model.replace("-", "_"),
-        "value": round(fps, 1),
+        "value": round(fps, 1),  # median over config.reps samples
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "reps": resolved["reps"],
+        "spread": resolved["spread"],
         "config": resolved,
     }
 

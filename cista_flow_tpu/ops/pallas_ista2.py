@@ -65,9 +65,11 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _pick_bh(h: int, w: int, c: int) -> int | None:
+def _pick_bh(h: int, w: int, c: int, with_dg: bool = False) -> int | None:
     """Largest divisor of h whose per-chunk transients + resident buffers fit
-    the scoped-VMEM budget. Lane padding: channel axes pad to 128."""
+    the scoped-VMEM budget. Lane padding: channel axes pad to 128.
+    ``with_dg`` reserves the Dg weight buffer (v3 kernel only) — the v2
+    kernel carries no Dg weights, so its budget excludes it."""
     lanes2c = _round_up(2 * c, 128)
     lanesc = _round_up(c, 128)
     resident = (
@@ -76,7 +78,7 @@ def _pick_bh(h: int, w: int, c: int) -> int | None:
         + h * _round_up(w, 16) * _round_up(c, 128) * 2    # x1_v (lane-padded)
         + _round_up(9 * 2 * c, 128) * lanesc * 2          # D weights
         + _round_up(9 * c, 128) * lanes2c * 2             # P weights
-        + _round_up(9 * 2 * c, 128) * lanesc * 2          # Dg weights (v3)
+        + (_round_up(9 * 2 * c, 128) * lanesc * 2 if with_dg else 0)  # Dg (v3)
     )
     best = None
     for bh in range(1, h + 1):
@@ -92,13 +94,13 @@ def _pick_bh(h: int, w: int, c: int) -> int | None:
     return best
 
 
-def supported(x1_shape, z_shape) -> bool:
+def supported(x1_shape, z_shape, with_dg: bool = False) -> bool:
     b, h, w, c = x1_shape
     if z_shape != (b, h, w, 2 * c):
         return False
     if c < 32 or w % 8 != 0 or h < 8:
         return False
-    return _pick_bh(h, w, c) is not None
+    return _pick_bh(h, w, c, with_dg=with_dg) is not None
 
 
 # Interior column offset inside the padded scratches. 8 (not 1) so that the
@@ -290,7 +292,7 @@ def _fused_pallas_dg(x1, z, dw, db, pw, pb, lam, gw, gb, depth: int,
     """v3 = v2 + Dg tail. gw: (9*2C, C) im2col-major; gb (1, C).
     Returns (z_final, rec) with rec = relu(conv3x3_reflect(z_final, Dg))."""
     B, H, W, C = x1.shape
-    bh = _pick_bh(H, W, C)
+    bh = _pick_bh(H, W, C, with_dg=True)
     cp128 = _round_up(C, 128)
     x1 = jnp.pad(x1, ((0, 0), (0, 0), (0, 0), (0, cp128 - C)))
     kern = functools.partial(_kernel_dg, depth=depth, h=H, w=W, c=C, bh=bh)
@@ -409,6 +411,6 @@ def fused_ista_dg(params, dg, x1, z, depth: int = 5):
     """ISTA loop + Dg conv (relu) in one kernel launch: returns
     (sparse_code, rec). Falls back to the XLA chain when unsupported —
     identical math either way (tests/test_pallas_ista.py)."""
-    if not supported(x1.shape, z.shape):
+    if not supported(x1.shape, z.shape, with_dg=True):
         return _xla_loop_dg(params, dg, x1, z, depth)
     return _fused_dg_vjp(params, dg, x1, z, depth)

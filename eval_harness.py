@@ -39,8 +39,17 @@ def mean_metrics(results, keys) -> dict:
     return {k: float(v) for k, v in zip(keys, row[1:1 + len(keys)])}
 
 
-def compare(measured: dict, targets: dict, tolerance: float):
-    """Returns (ok, lines): symmetric relative deviation per shared metric."""
+def compare(measured: dict, targets: dict, tolerance: float,
+            atol: float = 1e-3):
+    """Returns (ok, lines): symmetric relative deviation per shared metric.
+
+    ``atol`` floors the denominator so near-zero targets (e.g. the 3px/5px
+    outlier fractions pinned at exactly 0.0) don't make the relative gate
+    degenerate — without it a single pixel crossing the threshold would
+    register as a ~1e9 relative deviation and hard-fail regardless of
+    tolerance. With the floor, a target of 0 admits |measured| up to
+    atol*tolerance (one-in-~100k pixels at the defaults) and still fails on
+    any genuine outlier-rate regression."""
     lines, ok = [], True
     for k, tv in targets.items():
         if k not in measured:
@@ -48,7 +57,7 @@ def compare(measured: dict, targets: dict, tolerance: float):
             ok = False
             continue
         mv = measured[k]
-        rel = abs(mv - tv) / max(abs(tv), 1e-12)
+        rel = abs(mv - tv) / max(abs(tv), atol)
         status = "ok" if rel <= tolerance else "FAIL"
         if rel > tolerance:
             ok = False

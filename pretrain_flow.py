@@ -60,10 +60,19 @@ def make_raft_optimizer(peak_lr: float, total_steps: int,
 
     # tiny smoke runs make the piecewise schedule degenerate: with
     # transition_steps small enough that a segment's knots collide
-    # (e.g. 10 at pct_start=0.05), optax emits NaN LR from step 0 —
-    # clamp the horizon well clear of that regime
+    # (e.g. 10 at pct_start=0.05), optax emits NaN LR from step 0.
+    # Clamp ONLY the degenerate regime (warmup segment < 1 step) so a
+    # genuine short run (20-99 steps) still completes its full decay
+    # instead of silently ending mid-warmup on a stretched horizon.
+    horizon = total_steps
+    if int(0.05 * horizon) < 1:
+        horizon = 100
+        if total_steps > 1:  # not a 1-step compile smoke
+            print(f"pretrain_flow: total_steps={total_steps} degenerate for "
+                  f"OneCycle (warmup<1 step); stretching horizon to 100 — "
+                  f"the run ends mid-schedule (smoke-run regime)")
     sched = optax.linear_onecycle_schedule(
-        transition_steps=max(total_steps, 100), peak_value=peak_lr,
+        transition_steps=horizon, peak_value=peak_lr,
         pct_start=0.05, pct_final=1.0, div_factor=25.0,
         final_div_factor=1e3)
     return optax.chain(

@@ -40,9 +40,11 @@ gates|all)
             cista-idnet:/tmp/r4simq_idnet; do
     mode="${mm%%:*}"; wd="${mm#*:}"
     ckpt=$(ls "$wd"/models/*/*_40.pth.tar 2>/dev/null | head -1) || true
-    [ -n "$ckpt" ] && python gate_export.py --ckpt "$ckpt" \
-      --model_mode "$mode" --workdir /tmp/gate_eval_"$mode" \
-      --gate_dir gate --cpu
+    if [ -n "$ckpt" ]; then
+      python gate_export.py --ckpt "$ckpt" \
+        --model_mode "$mode" --workdir /tmp/gate_eval_"$mode" \
+        --gate_dir gate --cpu
+    fi
   done
   ;;
 esac

@@ -24,7 +24,10 @@ from conftest import REPO_ROOT
 
 GATE_DIR = os.path.join(REPO_ROOT, "gate")
 
-pytestmark = pytest.mark.slow
+# Deliberately NOT marked slow: this is the standing serving-stack drift
+# gate, and a gate that only runs in the multi-hour full tier cannot catch
+# drift before a commit lands. ~115 s/variant on 1 CPU — the largest single
+# item in the fast tier, and worth it.
 
 # absolute floors: the gate stays meaningful even if targets are ever
 # regenerated — a trained anchor must reconstruct well (untrained nets emit
