@@ -98,6 +98,16 @@ def main(argv=None):
                     help="force the JAX CPU backend (targets recorded on "
                          "CPU f32 — exactly what tests/test_quality_gate.py "
                          "replays; also leaves the TPU free)")
+    ap.add_argument("--stem", default="",
+                    help="override the anchor/targets naming stem (e.g. "
+                         "'flagship_ft3' for the depth-3 SERVING anchor; "
+                         "targets land at targets_sim_<stem-suffix>.json)")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="record targets at this serving ISTA depth "
+                         "(checkpoints trained at reduced depth)")
+    ap.add_argument("--flow_iters", type=int, default=None,
+                    help="record targets at this serving GRU iteration "
+                         "count (gate the admitted reduced point)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -116,16 +126,27 @@ def main(argv=None):
     # anchor naming: the flagship keeps its historical name; other composites
     # get per-variant anchors (gate/<variant>_sim40_f16.npz)
     variant = args.model_mode.split("-", 1)[-1]
-    stem = ("flagship_sim40_f16" if args.model_mode == "cista-eiflow"
-            else f"{variant}_sim40_f16")
+    if args.stem:
+        stem = f"{args.stem}_f16"
+        targets_path = os.path.join(args.gate_dir,
+                                    f"targets_sim_{args.stem}.json")
+    else:
+        stem = ("flagship_sim40_f16" if args.model_mode == "cista-eiflow"
+                else f"{variant}_sim40_f16")
+        targets_path = os.path.join(args.gate_dir,
+                                    f"targets_sim_{variant}.json")
     npz_path = os.path.join(args.gate_dir, f"{stem}.npz")
-    targets_path = os.path.join(args.gate_dir, f"targets_sim_{variant}.json")
     export_npz(args.ckpt, npz_path)
     print(f"wrote {npz_path} "
           f"({os.path.getsize(npz_path) / 1e6:.1f} MB)")
+    extra = []
+    if args.depth is not None:
+        extra += ["--depth", str(args.depth)]
+    if args.flow_iters is not None:
+        extra += ["--flow_iters", str(args.flow_iters)]
     record_targets(npz_path, targets_path, eval_dir,
                    model_mode=args.model_mode, dtype=args.dtype,
-                   workdir=args.workdir)
+                   workdir=args.workdir, extra_args=tuple(extra))
     with open(targets_path) as f:
         print("targets:", json.dumps(json.load(f)))
 

@@ -38,20 +38,31 @@ FLOORS = {
     "cista-idnet": {"psnr": 22.0, "ssim": 0.72, "epe": 2.3},
 }
 
+# rows: gate name -> (model_mode, anchor stem, targets name, extra eval args)
+# "serve" pins the ADMITTED reduced serving point (depth-3 fine-tuned
+# checkpoint at flow_iters=2 — PERF.md round-5 frontier admission) so the
+# reduced-iters/reduced-depth serving path itself is drift-gated, not just
+# the reference-default configuration.
+ROWS = {
+    "cista-eiflow": ("cista-eiflow", "flagship_sim40_f16",
+                     "targets_sim_eiflow.json", ()),
+    "cista-eraft": ("cista-eraft", "eraft_sim40_f16",
+                    "targets_sim_eraft.json", ()),
+    "cista-idnet": ("cista-idnet", "idnet_sim40_f16",
+                    "targets_sim_idnet.json", ()),
+    "serve-eiflow-d3i2": ("cista-eiflow", "flagship_ft3_f16",
+                          "targets_sim_flagship_ft3.json",
+                          ("--depth", "3", "--flow_iters", "2")),
+}
 
-def _anchor(mode):
-    variant = mode.split("-", 1)[-1]
-    stem = ("flagship_sim40_f16" if mode == "cista-eiflow"
-            else f"{variant}_sim40_f16")
-    return (os.path.join(GATE_DIR, f"{stem}.npz"),
-            os.path.join(GATE_DIR, f"targets_sim_{variant}.json"))
 
-
-@pytest.mark.parametrize("mode", sorted(FLOORS))
-def test_quality_gate(mode, tmp_path):
-    anchor, targets_path = _anchor(mode)
+@pytest.mark.parametrize("row", sorted(ROWS))
+def test_quality_gate(row, tmp_path):
+    mode, stem, targets_name, extra = ROWS[row]
+    anchor = os.path.join(GATE_DIR, f"{stem}.npz")
+    targets_path = os.path.join(GATE_DIR, targets_name)
     if not os.path.exists(anchor):
-        pytest.skip(f"gate anchor for {mode} not committed yet")
+        pytest.skip(f"gate anchor {stem} not committed yet")
 
     import eval_harness
     import sim_quality
@@ -69,8 +80,9 @@ def test_quality_gate(mode, tmp_path):
         "--output_folder", str(tmp_path / "out"),
         "--targets", targets_path,
         "--harness_tolerance", "0.002",
+        *extra,
     ])
-    assert rc == 0, f"{mode} gate metrics drifted beyond 0.2% tolerance"
+    assert rc == 0, f"{row} gate metrics drifted beyond 0.2% tolerance"
 
     with open(targets_path) as f:
         targets = json.load(f)
