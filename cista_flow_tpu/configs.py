@@ -128,6 +128,10 @@ class Config:
         "CISTA_ERAFT_PAIR", False))        # block-diag fnet+cnet at step batch
     eraft_tchunk: int = field(default_factory=lambda: _env_int(
         "CISTA_ERAFT_TCHUNK", 0))          # time-subchunk the window flow call
+    flow_half: bool = field(default_factory=lambda: _env_bool(
+        "CISTA_FLOW_HALF", False))         # run the eiflow flow net on the
+    #                                        2x-downsampled domain (serving
+    #                                        reduction; gate-admitted only)
 
     # derived / fixed (ref: e2v/e2v_model.py:111)
     scale_factor: float = 0.5
@@ -238,6 +242,8 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--eraft_pair_tower", default=None,
                         action=argparse.BooleanOptionalAction)
     parser.add_argument("--eraft_tchunk", default=None, type=int)
+    parser.add_argument("--flow_half", default=None,
+                        action=argparse.BooleanOptionalAction)
 
 
 def from_args(args: argparse.Namespace) -> Config:
@@ -251,7 +257,8 @@ def from_args(args: argparse.Namespace) -> Config:
     # knob flags default to None on the CLI = "keep the Config default
     # (which already folded in any CISTA_* env override)"
     for knob in ("encoder_merge", "serve_pallas", "train_pallas",
-                 "corr_fuse_proj", "eraft_pair_tower", "eraft_tchunk"):
+                 "corr_fuse_proj", "eraft_pair_tower", "eraft_tchunk",
+                 "flow_half"):
         if kw.get(knob) is None:
             kw.pop(knob, None)
     if "image_dim" in kw and kw["image_dim"] is not None:

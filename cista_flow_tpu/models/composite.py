@@ -141,18 +141,45 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
     cista_params = _maybe_freeze(params["cista"], fix_net_name == "rec")
 
     # --- flow estimation ---------------------------------------------------
+    half_flow_direct = None
     if cfg.model_mode == "cista-eiflow":
         image1 = batch_gt.get("gt_img0", rec_img0)
-        batch_flow, new_model_state["flow"] = dceiflow.apply(
-            flow_params, model_state["flow"], events, image1, cfg,
-            image2=batch_gt.get("gt_img1"),
-            reversed_event_voxel=batch_data.get("event_voxel_bw"),
-            iters=iters, flow_init=batch_data.get("flow_init"),
-            # flow-net BN mode mirrors fix_params: train() when the flow net
-            # is the one being trained (fix='rec'), eval() when frozen
-            # (fix='flow') — ref: e2v/e2v_model.py:122-129
-            train=train and fix_net_name != "flow",
-            collect_preds=collect_preds)
+        if cfg.flow_half:
+            # Flow net on the 2x-downsampled domain (gate-admitted serving
+            # reduction; also usable in rec-only training phases, where no
+            # flow-supervision loss consumes the half-domain flow_preds).
+            # The flow net's own half-domain final flow IS the state-warp
+            # flow (scale_factor 0.5), in the right pixel units; the frame
+            # warp gets its x2 upsample with x2 magnitudes (flow-resize
+            # convention, ref: e2v/e2v_model.py:190).
+            import dataclasses as _dc
+            assert batch_gt.get("gt_img1") is None and \
+                batch_data.get("event_voxel_bw") is None, \
+                "flow_half supports serving/rec-phase graphs only"
+            h, w = cfg.image_dim
+            hcfg = _dc.replace(cfg, image_dim=(h // 2, w // 2))
+            ev_h = interpolate_scale(events, 0.5, align_corners=False)
+            im_h = interpolate_scale(image1, 0.5, align_corners=False)
+            batch_flow, new_model_state["flow"] = dceiflow.apply(
+                flow_params, model_state["flow"], ev_h, im_h, hcfg,
+                iters=iters, flow_init=batch_data.get("flow_init"),
+                train=train and fix_net_name != "flow",
+                collect_preds=collect_preds)
+            batch_flow = dict(batch_flow)
+            half_flow_direct = batch_flow["flow_final"]
+            batch_flow["flow_final"] = 2.0 * interpolate_scale(
+                half_flow_direct, 2.0, align_corners=True)
+        else:
+            batch_flow, new_model_state["flow"] = dceiflow.apply(
+                flow_params, model_state["flow"], events, image1, cfg,
+                image2=batch_gt.get("gt_img1"),
+                reversed_event_voxel=batch_data.get("event_voxel_bw"),
+                iters=iters, flow_init=batch_data.get("flow_init"),
+                # flow-net BN mode mirrors fix_params: train() when the flow
+                # net is the one being trained (fix='rec'), eval() when
+                # frozen (fix='flow') — ref: e2v/e2v_model.py:122-129
+                train=train and fix_net_name != "flow",
+                collect_preds=collect_preds)
     elif cfg.model_mode == "cista-eraft":
         batch_flow, new_model_state["flow"] = eraft.apply(
             flow_params, model_state["flow"],
@@ -179,7 +206,12 @@ def apply(params, model_state, batch_data, state, cfg, batch_gt=None,
 
     # --- warp + reconstruct --------------------------------------------------
     half_flow = None
-    if (cfg.model_mode == "cista-eiflow" and "gt_flow" not in batch_gt
+    if (half_flow_direct is not None and "gt_flow" not in batch_gt
+            and cfg.scale_factor == 0.5):
+        half_flow = half_flow_direct
+        if fix_net_name == "flow":
+            half_flow = jax.lax.stop_gradient(half_flow)
+    elif (cfg.model_mode == "cista-eiflow" and "gt_flow" not in batch_gt
             and cfg.scale_factor == 0.5 and "flow_init" in batch_flow):
         f8 = batch_flow["flow_init"]
         if fix_net_name == "flow":
