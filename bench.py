@@ -157,6 +157,7 @@ def measure(model, batch, steps, dtype, iters, depth, chunk):
         "corr_fuse_proj": cfg.corr_fuse_proj,
         "eraft_pair_tower": cfg.eraft_pair_tower,
         "eraft_tchunk": cfg.eraft_tchunk,
+        "flow_half": cfg.flow_half,
     }
     spread = ((fps_samples[-1] - fps_samples[0]) / fps
               if fps > 0 else 0.0)
