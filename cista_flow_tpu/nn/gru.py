@@ -229,10 +229,14 @@ def basic_update_block(p, net, inp, corr, flow, corr_projected=False):
     flow = flow.astype(net.dtype)
     motion = basic_motion_encoder(p["encoder"], flow, corr, corr_projected)
     net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
-    # flow_head and mask_head conv1s both read net: one fused conv pass
-    act_f, act_m = fused_head_stage1([p["flow_head"], p["mask"]], net)
-    delta_flow = C.apply_conv(p["flow_head"]["conv2"], act_f, padding=1)
-    mask = 0.25 * C.apply_conv(p["mask"]["conv2"], act_m)
+    # separate heads on purpose: fusing the flow/mask conv1s into one conv
+    # (round-4 0e45e36) measured e2e NEGATIVE for ERAFT serving — 560.2 vs
+    # 573.8 fps without (3-rep medians, quiet chip; PERF.md round-5 A/Bs).
+    # XLA already co-schedules the two small convs; the concat'd weight
+    # defeated a better layout. The same-shaped fusion stays in IDNet's
+    # lite updater where it measured neutral.
+    delta_flow = flow_head(p["flow_head"], net)
+    mask = 0.25 * mask_head(p["mask"], net)
     return net, mask, delta_flow
 
 
