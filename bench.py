@@ -195,15 +195,17 @@ def main():
     # Serving ISTA depth (reference default 5, ref: e2v/e2v_model.py:34-35).
     # The ISTA blocks are weight-tied (ONE D/P/Lambda reused each iteration).
     # Pure serving-time truncation measured INADMISSIBLE (PERF.md round 5:
-    # depth 3 on the depth-5 checkpoint costs −2.9 dB), so the depth-3
-    # default is backed by the depth-3 FINE-TUNED serving flagship
-    # (gate/flagship_ft3_f16.npz: 12 rec-only epochs + 4 supervised-flow
+    # depth 3 on the depth-5 checkpoint costs −2.9 dB), so the depth-2
+    # default is backed by the depth-2 FINE-TUNED serving flagship
+    # (gate/flagship_ft2_f16.npz: 12 rec-only epochs + 4 supervised-flow
     # epochs from the depth-5 anchor), which BEATS the reference-default
-    # quality on all gated metrics (PSNR 24.30 / SSIM 0.816 / EPE 0.281 vs
-    # 23.80 / 0.795 / 0.313 at the (2,3) serving point). BENCH_DEPTH=5
-    # reproduces the depth-5 checkpoint's configuration.
+    # quality on all gated metrics (PSNR 24.07 / SSIM 0.815 / EPE 0.281 vs
+    # 23.80 / 0.795 / 0.313 at the (2,2) serving point; the depth-3
+    # variant of the same recipe measured 24.30/0.816/0.281 at (2,3) =
+    # 898.8 fps). BENCH_DEPTH=5 reproduces the depth-5 checkpoint's
+    # configuration.
     depth = os.environ.get("BENCH_DEPTH", "")
-    depth = int(depth) if depth else (3 if model == "cista-eiflow" else 5)
+    depth = int(depth) if depth else (2 if model == "cista-eiflow" else 5)
 
     fps, resolved = measure(model, batch, steps, dtype, iters, depth, chunk)
     out = {

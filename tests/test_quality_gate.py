@@ -45,10 +45,12 @@ FLOORS = {
 }
 
 # rows: gate name -> (model_mode, anchor stem, targets name, extra eval args)
-# "serve" pins the ADMITTED reduced serving point (depth-3 fine-tuned
-# checkpoint at flow_iters=2 — PERF.md round-5 frontier admission) so the
+# "serve" pins the ADMITTED headline serving point (depth-2 fine-tuned
+# checkpoint at flow_iters=2, 926 fps — PERF.md round-5 admission) so the
 # reduced-iters/reduced-depth serving path itself is drift-gated, not just
-# the reference-default configuration.
+# the reference-default configuration. The depth-3 sibling anchor
+# (flagship_ft3_f16, 899 fps, slightly higher PSNR) stays committed as a
+# user-selectable alternative; one serve row keeps the fast tier bounded.
 ROWS = {
     "cista-eiflow": ("cista-eiflow", "flagship_sim40_f16",
                      "targets_sim_eiflow.json", ()),
@@ -56,9 +58,9 @@ ROWS = {
                     "targets_sim_eraft.json", ()),
     "cista-idnet": ("cista-idnet", "idnet_sim40_f16",
                     "targets_sim_idnet.json", ()),
-    "serve-eiflow-d3i2": ("cista-eiflow", "flagship_ft3_f16",
-                          "targets_sim_flagship_ft3.json",
-                          ("--depth", "3", "--flow_iters", "2")),
+    "serve-eiflow-d2i2": ("cista-eiflow", "flagship_ft2_f16",
+                          "targets_sim_flagship_ft2.json",
+                          ("--depth", "2", "--flow_iters", "2")),
 }
 
 
