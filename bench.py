@@ -189,9 +189,14 @@ def main():
     # converges by GRU iteration 2 from the 0.888-EPE warm start; gate/
     # carries the standing anchor + targets and frontier.py reproduces the
     # admission). Override with BENCH_ITERS, or BENCH_ITERS=6 for the
-    # reference-default configuration.
+    # reference-default configuration. cista-eraft's admitted default is
+    # iters=3: its frontier (PERF.md round 5) is FLAT across {3,6,12} on
+    # the trained checkpoint (PSNR/SSIM identical to 4 decimals, EPE
+    # slightly better at 3) — like the flagship, the GRU converges early
+    # from strong correlation features.
     iters = os.environ.get("BENCH_ITERS", "")
-    iters = int(iters) if iters else (2 if model == "cista-eiflow" else None)
+    iters = (int(iters) if iters
+             else {"cista-eiflow": 2, "cista-eraft": 3}.get(model))
     # Serving ISTA depth (reference default 5, ref: e2v/e2v_model.py:34-35).
     # The ISTA blocks are weight-tied (ONE D/P/Lambda reused each iteration).
     # Pure serving-time truncation measured INADMISSIBLE (PERF.md round 5:
@@ -219,12 +224,15 @@ def main():
         "config": resolved,
     }
 
-    # Also report the REFERENCE-DEFAULT configuration (iters=6, depth=5 for
-    # cista-eiflow) alongside the gated headline whenever the headline is a
-    # reduced point — both lines in one JSON record, per-round honesty.
-    ref_iters, ref_depth = (6 if model == "cista-eiflow" else None), 5
+    # Also report the REFERENCE-DEFAULT configuration (eiflow iters=6 /
+    # eraft iters=12, depth=5) alongside the gated headline whenever the
+    # headline is a reduced point — both lines in one JSON record,
+    # per-round honesty.
+    ref_iters = {"cista-eiflow": 6, "cista-eraft": 12,
+                 "cista-idnet": 1}.get(model)
+    ref_depth = 5
     if (os.environ.get("BENCH_REF_LINE", "1") == "1"
-            and model == "cista-eiflow"
+            and ref_iters is not None
             and (resolved["flow_iters"], resolved["depth"])
             != (ref_iters, ref_depth)):
         ref_fps, ref_resolved = measure(model, batch, steps, dtype,
