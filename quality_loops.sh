@@ -6,7 +6,13 @@
 # DCEIFlow README recipe) on the in-repo simulated dataset, then exports
 # a standing gate anchor. Serial on one chip; ~40-80 min per composite.
 #
-#   ./quality_loops.sh eiflow|eraft|idnet|gates
+#   ./quality_loops.sh eiflow|eraft|idnet|ft|gates
+#
+# The `ft` block reproduces the SERVING fine-tunes (PERF.md round 5):
+# depth-D serving flagships fine-tuned from the depth-5 epoch-40
+# checkpoint — 12 rec-only epochs (flow frozen; the alternating phase's
+# 'both' loss pulls flow off GT) + 4 pure supervised-flow epochs
+# (phase-1 loss) to repair the EPE drift from the changed rec input.
 set -e
 cd "$(dirname "$0")"
 
@@ -33,6 +39,28 @@ idnet|all)
   # (no separate pretraining stage in the reference recipe either)
   python sim_quality.py --workdir /tmp/r4simq_idnet --model_mode cista-idnet \
     $COMP
+  ;;&
+ft|all)
+  # serving-efficient flagship fine-tunes (the committed ft2/ft3 anchors)
+  D5CKPT=/tmp/r4simq/models/cista-eiflow_b5_d5_c64/cista-eiflow_b5_d5_c64_40.pth.tar
+  for D in 2 3; do
+    wd=/tmp/r5ft$D
+    mkdir -p "$wd/models/cista-eiflow_b5_d${D}_c64"
+    cp -n "$D5CKPT" \
+      "$wd/models/cista-eiflow_b5_d${D}_c64/cista-eiflow_b5_d${D}_c64_40.pth.tar"
+    ln -sfn /tmp/r4simq/train "$wd/train"
+    ln -sfn /tmp/r4simq/eval "$wd/eval"
+    python sim_quality.py --workdir "$wd" --model_mode cista-eiflow \
+      --n_videos 32 --epochs 52 --flow_epoch 0 --rec_epoch 52 --remat \
+      --depth "$D" --load_epoch_for_train 40
+    python sim_quality.py --workdir "$wd" --model_mode cista-eiflow \
+      --n_videos 32 --epochs 56 --flow_epoch 56 --rec_epoch 0 --remat \
+      --depth "$D" --load_epoch_for_train 52
+    python gate_export.py \
+      --ckpt "$wd/models/cista-eiflow_b5_d${D}_c64/cista-eiflow_b5_d${D}_c64_56.pth.tar" \
+      --model_mode cista-eiflow --stem "flagship_ft$D" --depth "$D" \
+      --flow_iters 2 --workdir "/tmp/gate_eval_ft$D" --gate_dir gate --cpu
+  done
   ;;&
 gates|all)
   # export whatever trained checkpoints exist into committed gate anchors
