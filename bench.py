@@ -209,8 +209,12 @@ def main():
     # variant of the same recipe measured 24.30/0.816/0.281 at (2,3) =
     # 898.8 fps). BENCH_DEPTH=5 reproduces the depth-5 checkpoint's
     # configuration.
+    # (cista-idnet's depth-2 default is likewise backed by its own
+    # fine-tuned anchor, gate/idnet_ft2_f16.npz — 24.28/0.809/EPE 2.40,
+    # all better than its reference-default targets.)
     depth = os.environ.get("BENCH_DEPTH", "")
-    depth = int(depth) if depth else (2 if model == "cista-eiflow" else 5)
+    depth = (int(depth) if depth
+             else {"cista-eiflow": 2, "cista-idnet": 2}.get(model, 5))
 
     fps, resolved = measure(model, batch, steps, dtype, iters, depth, chunk)
     out = {

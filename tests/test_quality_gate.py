@@ -61,6 +61,9 @@ ROWS = {
     "serve-eiflow-d2i2": ("cista-eiflow", "flagship_ft2_f16",
                           "targets_sim_flagship_ft2.json",
                           ("--depth", "2", "--flow_iters", "2")),
+    "serve-idnet-d2": ("cista-idnet", "idnet_ft2_f16",
+                       "targets_sim_idnet_ft2.json",
+                       ("--depth", "2")),
 }
 
 
