@@ -41,25 +41,32 @@ idnet|all)
     $COMP
   ;;&
 ft|all)
-  # serving-efficient flagship fine-tunes (the committed ft2/ft3 anchors)
-  D5CKPT=/tmp/r4simq/models/cista-eiflow_b5_d5_c64/cista-eiflow_b5_d5_c64_40.pth.tar
-  for D in 2 3; do
-    wd=/tmp/r5ft$D
-    mkdir -p "$wd/models/cista-eiflow_b5_d${D}_c64"
-    cp -n "$D5CKPT" \
-      "$wd/models/cista-eiflow_b5_d${D}_c64/cista-eiflow_b5_d${D}_c64_40.pth.tar"
-    ln -sfn /tmp/r4simq/train "$wd/train"
-    ln -sfn /tmp/r4simq/eval "$wd/eval"
-    python sim_quality.py --workdir "$wd" --model_mode cista-eiflow \
+  # serving-efficient depth fine-tunes (the committed *_ft2/ft3 anchors):
+  # mm:depth:src-workdir:anchor-stem:extra-gate-args
+  for spec in \
+    cista-eiflow:3:/tmp/r4simq:flagship_ft3:--flow_iters=2 \
+    cista-eiflow:2:/tmp/r4simq:flagship_ft2:--flow_iters=2 \
+    cista-idnet:2:/tmp/r5_idnet:idnet_ft2: \
+    cista-eraft:2:/tmp/r4simq_eraft:eraft_ft2:--flow_iters=3; do
+    IFS=: read -r mm D src stem extra <<< "$spec"
+    wd=/tmp/r5ft_${mm#cista-}_d$D
+    name="${mm}_b5_d${D}_c64"
+    srcname="${mm}_b5_d5_c64"
+    mkdir -p "$wd/models/$name"
+    cp -n "$src/models/$srcname/${srcname}_40.pth.tar" \
+      "$wd/models/$name/${name}_40.pth.tar"
+    ln -sfn "$src/train" "$wd/train"
+    ln -sfn "$src/eval" "$wd/eval"
+    python sim_quality.py --workdir "$wd" --model_mode "$mm" \
       --n_videos 32 --epochs 52 --flow_epoch 0 --rec_epoch 52 --remat \
       --depth "$D" --load_epoch_for_train 40
-    python sim_quality.py --workdir "$wd" --model_mode cista-eiflow \
+    python sim_quality.py --workdir "$wd" --model_mode "$mm" \
       --n_videos 32 --epochs 56 --flow_epoch 56 --rec_epoch 0 --remat \
       --depth "$D" --load_epoch_for_train 52
     python gate_export.py \
-      --ckpt "$wd/models/cista-eiflow_b5_d${D}_c64/cista-eiflow_b5_d${D}_c64_56.pth.tar" \
-      --model_mode cista-eiflow --stem "flagship_ft$D" --depth "$D" \
-      --flow_iters 2 --workdir "/tmp/gate_eval_ft$D" --gate_dir gate --cpu
+      --ckpt "$wd/models/$name/${name}_56.pth.tar" \
+      --model_mode "$mm" --stem "$stem" --depth "$D" ${extra:+$extra} \
+      --workdir "/tmp/gate_eval_$stem" --gate_dir gate --cpu
   done
   ;;&
 gates|all)
