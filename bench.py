@@ -212,9 +212,13 @@ def main():
     # (cista-idnet's depth-2 default is likewise backed by its own
     # fine-tuned anchor, gate/idnet_ft2_f16.npz — 24.28/0.809/EPE 2.40,
     # all better than its reference-default targets.)
+    # (cista-eraft's depth-2 default: gate/eraft_ft2_f16.npz — 18 rec-only
+    # fine-tune epochs; its flow touch-up measured NEGATIVE and was
+    # dropped, PERF.md round 5.)
     depth = os.environ.get("BENCH_DEPTH", "")
     depth = (int(depth) if depth
-             else {"cista-eiflow": 2, "cista-idnet": 2}.get(model, 5))
+             else {"cista-eiflow": 2, "cista-idnet": 2,
+                   "cista-eraft": 2}.get(model, 5))
 
     fps, resolved = measure(model, batch, steps, dtype, iters, depth, chunk)
     out = {

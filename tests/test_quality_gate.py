@@ -64,6 +64,9 @@ ROWS = {
     "serve-idnet-d2": ("cista-idnet", "idnet_ft2_f16",
                        "targets_sim_idnet_ft2.json",
                        ("--depth", "2")),
+    "serve-eraft-d2i3": ("cista-eraft", "eraft_ft2_f16",
+                         "targets_sim_eraft_ft2.json",
+                         ("--depth", "2", "--flow_iters", "3")),
 }
 
 
