@@ -184,40 +184,31 @@ def main():
     # ref DCEIFlow/DCEIFlow.py:143, ERAFT/eraft.py:114; the reference itself
     # treats this as a free parameter). Benchmark default for cista-eiflow is
     # the QUALITY-GATED reduced point from the measured speed/quality
-    # frontier (PERF.md round-5: on the round-4 anchor, iters=2 BEATS the
-    # reference-default point on every gated metric — the flow estimate
-    # converges by GRU iteration 2 from the 0.888-EPE warm start; gate/
-    # carries the standing anchor + targets and frontier.py reproduces the
-    # admission). Override with BENCH_ITERS, or BENCH_ITERS=6 for the
-    # reference-default configuration. cista-eraft's admitted default is
-    # iters=3: its frontier (PERF.md round 5) is FLAT across {3,6,12} on
-    # the trained checkpoint (PSNR/SSIM identical to 4 decimals, EPE
-    # slightly better at 3) — like the flagship, the GRU converges early
-    # from strong correlation features.
+    # frontier (PERF.md round-5 admissions: on the fine-tuned serving
+    # checkpoints, ONE GRU iteration from the strong flow warm start still
+    # beats the reference-default quality on every gated metric, for both
+    # eiflow and eraft; gate/ carries the standing anchors + targets and
+    # frontier.py reproduces the admission). Override with BENCH_ITERS,
+    # or BENCH_ITERS=6 / 12 for the reference-default configurations.
     iters = os.environ.get("BENCH_ITERS", "")
     iters = (int(iters) if iters
-             else {"cista-eiflow": 2, "cista-eraft": 3}.get(model))
+             else {"cista-eiflow": 1, "cista-eraft": 1}.get(model))
     # Serving ISTA depth (reference default 5, ref: e2v/e2v_model.py:34-35).
     # The ISTA blocks are weight-tied (ONE D/P/Lambda reused each iteration).
     # Pure serving-time truncation measured INADMISSIBLE (PERF.md round 5:
-    # depth 3 on the depth-5 checkpoint costs −2.9 dB), so the depth-2
-    # default is backed by the depth-2 FINE-TUNED serving flagship
-    # (gate/flagship_ft2_f16.npz: 12 rec-only epochs + 4 supervised-flow
-    # epochs from the depth-5 anchor), which BEATS the reference-default
-    # quality on all gated metrics (PSNR 24.07 / SSIM 0.815 / EPE 0.281 vs
-    # 23.80 / 0.795 / 0.313 at the (2,2) serving point; the depth-3
-    # variant of the same recipe measured 24.30/0.816/0.281 at (2,3) =
-    # 898.8 fps). BENCH_DEPTH=5 reproduces the depth-5 checkpoint's
-    # configuration.
-    # (cista-idnet's depth-2 default is likewise backed by its own
-    # fine-tuned anchor, gate/idnet_ft2_f16.npz — 24.28/0.809/EPE 2.40,
-    # all better than its reference-default targets.)
-    # (cista-eraft's depth-2 default: gate/eraft_ft2_f16.npz — 18 rec-only
-    # fine-tune epochs; its flow touch-up measured NEGATIVE and was
-    # dropped, PERF.md round 5.)
+    # depth 3 on the depth-5 checkpoint costs −2.9 dB), so each reduced
+    # depth default is backed by a FINE-TUNED serving checkpoint with a
+    # committed gate anchor (rec-only epochs + optionally a supervised
+    # flow touch-up, decided per variant by the held-out eval):
+    #   eiflow depth 1 — gate/flagship_ft1_f16.npz, (1,1) quality
+    #     24.38/0.813/EPE 0.274 vs ref-default 23.80/0.795/0.313;
+    #   idnet depth 2 — gate/idnet_ft2_f16.npz, 24.28/0.809/2.40;
+    #   eraft depth 2 — gate/eraft_ft2_f16.npz, 24.10/0.816/0.364
+    #     (rec-only; its flow touch-up measured NEGATIVE and was dropped).
+    # BENCH_DEPTH=5 reproduces the depth-5 checkpoints' configuration.
     depth = os.environ.get("BENCH_DEPTH", "")
     depth = (int(depth) if depth
-             else {"cista-eiflow": 2, "cista-idnet": 2,
+             else {"cista-eiflow": 1, "cista-idnet": 2,
                    "cista-eraft": 2}.get(model, 5))
 
     fps, resolved = measure(model, batch, steps, dtype, iters, depth, chunk)

@@ -45,12 +45,13 @@ FLOORS = {
 }
 
 # rows: gate name -> (model_mode, anchor stem, targets name, extra eval args)
-# "serve" pins the ADMITTED headline serving point (depth-2 fine-tuned
-# checkpoint at flow_iters=2, 926 fps — PERF.md round-5 admission) so the
-# reduced-iters/reduced-depth serving path itself is drift-gated, not just
-# the reference-default configuration. The depth-3 sibling anchor
-# (flagship_ft3_f16, 899 fps, slightly higher PSNR) stays committed as a
-# user-selectable alternative; one serve row keeps the fast tier bounded.
+# "serve" rows pin the ADMITTED headline serving points (PERF.md round-5
+# admissions: eiflow (1,1) 1018 fps, eraft (1,2) 1100 fps, idnet (1,2)
+# 738 fps — every one beats/matches its reference-default quality) so the
+# reduced-iters/reduced-depth serving paths are drift-gated, not just the
+# reference-default configurations. The ft2/ft3 sibling anchors stay
+# committed as user-selectable intermediate points; one serve row per
+# variant keeps the fast tier bounded.
 ROWS = {
     "cista-eiflow": ("cista-eiflow", "flagship_sim40_f16",
                      "targets_sim_eiflow.json", ()),
@@ -58,15 +59,15 @@ ROWS = {
                     "targets_sim_eraft.json", ()),
     "cista-idnet": ("cista-idnet", "idnet_sim40_f16",
                     "targets_sim_idnet.json", ()),
-    "serve-eiflow-d2i2": ("cista-eiflow", "flagship_ft2_f16",
-                          "targets_sim_flagship_ft2.json",
-                          ("--depth", "2", "--flow_iters", "2")),
+    "serve-eiflow-d1i1": ("cista-eiflow", "flagship_ft1_f16",
+                          "targets_sim_flagship_ft1.json",
+                          ("--depth", "1", "--flow_iters", "1")),
     "serve-idnet-d2": ("cista-idnet", "idnet_ft2_f16",
                        "targets_sim_idnet_ft2.json",
                        ("--depth", "2")),
-    "serve-eraft-d2i3": ("cista-eraft", "eraft_ft2_f16",
+    "serve-eraft-d2i1": ("cista-eraft", "eraft_ft2_f16",
                          "targets_sim_eraft_ft2.json",
-                         ("--depth", "2", "--flow_iters", "3")),
+                         ("--depth", "2", "--flow_iters", "1")),
 }
 
 
