@@ -203,13 +203,14 @@ def main():
     #   eiflow depth 1 — gate/flagship_ft1_f16.npz, (1,1) quality
     #     24.38/0.813/EPE 0.274 vs ref-default 23.80/0.795/0.313;
     #   idnet depth 2 — gate/idnet_ft2_f16.npz, 24.28/0.809/2.40;
-    #   eraft depth 2 — gate/eraft_ft2_f16.npz, 24.10/0.816/0.364
-    #     (rec-only; its flow touch-up measured NEGATIVE and was dropped).
+    #   eraft depth 1 — gate/eraft_ft1_f16.npz, (1,1) 24.09/0.815/0.364
+    #     (24 rec-only epochs; eraft's flow touch-up measured NEGATIVE
+    #     and was dropped).
     # BENCH_DEPTH=5 reproduces the depth-5 checkpoints' configuration.
     depth = os.environ.get("BENCH_DEPTH", "")
     depth = (int(depth) if depth
              else {"cista-eiflow": 1, "cista-idnet": 2,
-                   "cista-eraft": 2}.get(model, 5))
+                   "cista-eraft": 1}.get(model, 5))
 
     fps, resolved = measure(model, batch, steps, dtype, iters, depth, chunk)
     out = {

@@ -46,7 +46,7 @@ FLOORS = {
 
 # rows: gate name -> (model_mode, anchor stem, targets name, extra eval args)
 # "serve" rows pin the ADMITTED headline serving points (PERF.md round-5
-# admissions: eiflow (1,1) 1018 fps, eraft (1,2) 1100 fps, idnet (1,2)
+# admissions: eiflow (1,1) 1018 fps, eraft (1,1) 1147 fps, idnet (1,2)
 # 738 fps — every one beats/matches its reference-default quality) so the
 # reduced-iters/reduced-depth serving paths are drift-gated, not just the
 # reference-default configurations. The ft2/ft3 sibling anchors stay
@@ -65,9 +65,9 @@ ROWS = {
     "serve-idnet-d2": ("cista-idnet", "idnet_ft2_f16",
                        "targets_sim_idnet_ft2.json",
                        ("--depth", "2")),
-    "serve-eraft-d2i1": ("cista-eraft", "eraft_ft2_f16",
-                         "targets_sim_eraft_ft2.json",
-                         ("--depth", "2", "--flow_iters", "1")),
+    "serve-eraft-d1i1": ("cista-eraft", "eraft_ft1_f16",
+                         "targets_sim_eraft_ft1.json",
+                         ("--depth", "1", "--flow_iters", "1")),
 }
 
 
